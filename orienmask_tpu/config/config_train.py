@@ -1,0 +1,60 @@
+"""Named full train configs (reference config/config_train.py).
+
+Config names are part of the CLI contract and must not change.
+"""
+
+from .base import (
+    construct_config,
+    orienmask_yolo_coco,
+    orienmask_yolo_fpn_plus_coco,
+    coco_544_train_loader,
+    coco_544_val_loader,
+    coco_val2017_gt_file,
+    orienmask_yolo_coco_544_loss,
+    orienmask_yolo_coco_544_anchor4_loss,
+    orienmask_yolo_coco_544_postprocess,
+    orienmask_yolo_coco_544_anchor4_postprocess,
+    base_sgd,
+    step_lr_warmup_coco_e100,
+)
+
+# The published model: anchor-v4 priors + FPN-plus orientation path
+# (reference config/config_train.py:3-25).  Effective batch = n_device * batch_size
+# * accumulate = 2 * 8 * 1 = 16.
+orienmask_yolo_coco_544_anchor4_fpn_plus = dict(
+    name="OrienMaskAnchor4FPNPlus",
+    n_device=2,
+    epochs=100,
+    accumulate=1,
+    monitor="segm_AP",
+    monitor_mode="max",
+    log_dir="checkpoints",
+    val_freq=5,
+    save_freq=20,
+    log_freq=50,
+    seed=0,
+    trainer="Trainer",
+    compute_dtype="float32",
+    model=orienmask_yolo_fpn_plus_coco,
+    train_loader=coco_544_train_loader,
+    val_loader=coco_544_val_loader,
+    val_gt_file=coco_val2017_gt_file,
+    loss=orienmask_yolo_coco_544_anchor4_loss,
+    postprocess=orienmask_yolo_coco_544_anchor4_postprocess,
+    optimizer=base_sgd,
+    lr_scheduler=step_lr_warmup_coco_e100,
+)
+
+orienmask_yolo_coco_544_anchor4 = construct_config(
+    orienmask_yolo_coco_544_anchor4_fpn_plus,
+    update=dict(name="OrienMaskAnchor4", model=orienmask_yolo_coco),
+)
+
+orienmask_yolo_coco_544 = construct_config(
+    orienmask_yolo_coco_544_anchor4,
+    update=dict(
+        name="OrienMaskBase",
+        loss=orienmask_yolo_coco_544_loss,
+        postprocess=orienmask_yolo_coco_544_postprocess,
+    ),
+)

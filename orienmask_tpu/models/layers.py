@@ -1,0 +1,258 @@
+"""Functional NHWC conv/BN/leaky building blocks.
+
+A tiny explicit-pytree module system: every module is a *description* object whose
+``init(key)`` returns ``(params, batch_stats)`` pytrees and whose ``apply(params,
+stats, x, ctx)`` is a pure function returning ``(y, new_stats)``.  No framework
+state — everything jit/vmap/grad-friendly.
+
+Design notes (TPU-first):
+  * NHWC activations / HWIO kernels — the native XLA TPU conv layout.
+  * ``ctx['dtype']`` selects the conv compute dtype (bf16 on the MXU for inference);
+    accumulation is always float32 via ``preferred_element_type``.
+  * BatchNorm in training uses the *global* batch statistics: under a batch-sharded
+    jit, ``jnp.mean`` over the batch axis compiles to an XLA all-reduce over ICI, so
+    cross-device SyncBatchNorm (reference trainer/builder.py:86) falls out for free.
+  * ``fold_batchnorm`` folds BN affine+stats into conv kernel/bias for the inference
+    path — one fused conv per layer, zero BN memory traffic.
+
+Numerics match torch defaults so converted reference weights reproduce activations:
+eps=1e-5, momentum=0.1, biased batch variance for normalization, unbiased for the
+running-var update, LeakyReLU slope 0.1, kaiming-uniform(a=sqrt(5)) conv init.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+LEAKY_SLOPE = 0.1
+
+
+def default_ctx(train=False, dtype=jnp.float32):
+    return {"train": train, "dtype": dtype}
+
+
+def _conv_init(key, ksize, cin, cout, with_bias):
+    """torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) => U(+-1/sqrt(fan_in))."""
+    fan_in = cin * ksize * ksize
+    bound = 1.0 / math.sqrt(fan_in)
+    k_key, b_key = jax.random.split(key)
+    kernel = jax.random.uniform(
+        k_key, (ksize, ksize, cin, cout), jnp.float32, -bound, bound
+    )
+    params = {"kernel": kernel}
+    if with_bias:
+        params["bias"] = jax.random.uniform(b_key, (cout,), jnp.float32, -bound, bound)
+    return params
+
+
+def conv2d(x, kernel, stride=1, padding=0, dtype=jnp.float32):
+    """NHWC conv with torch-style symmetric integer padding."""
+    pad = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def leaky_relu(x):
+    return jnp.where(x > 0, x, LEAKY_SLOPE * x)
+
+
+class Module:
+    """Base description object. Subclasses define init/apply."""
+
+    def init(self, key):
+        raise NotImplementedError
+
+    def apply(self, params, stats, x, ctx):
+        raise NotImplementedError
+
+    def named_modules(self, torch_prefix=""):
+        """Yield (torch_state_dict_prefix, module) for leaf layers — used by the
+        PyTorch weight converter (models/convert.py)."""
+        yield torch_prefix, self
+
+
+class ConvBNLeaky(Module):
+    """conv (no bias) + BatchNorm + LeakyReLU(0.1).
+
+    Mirrors reference ``conv_bn_leaky`` (model/base.py:104-137,278-279).
+    torch state_dict layout: ``{prefix}.conv_block.0`` (conv), ``{prefix}.conv_block.1`` (bn).
+    """
+
+    def __init__(self, cin, cout, ksize, stride=1, padding=0, activation="leaky"):
+        self.cin, self.cout, self.ksize = cin, cout, ksize
+        self.stride, self.padding = stride, padding
+        self.activation = activation
+
+    def init(self, key):
+        params = _conv_init(key, self.ksize, self.cin, self.cout, with_bias=False)
+        params["scale"] = jnp.ones((self.cout,), jnp.float32)
+        params["bias"] = jnp.zeros((self.cout,), jnp.float32)
+        stats = {
+            "mean": jnp.zeros((self.cout,), jnp.float32),
+            "var": jnp.ones((self.cout,), jnp.float32),
+        }
+        return params, stats
+
+    def apply(self, params, stats, x, ctx):
+        y = conv2d(x, params["kernel"], self.stride, self.padding, ctx["dtype"])
+        if ctx["train"]:
+            # Global (cross-device under sharded jit) batch statistics.
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(y), axis=(0, 1, 2))
+            var = mean_sq - jnp.square(mean)  # biased, used for normalization
+            count = y.shape[0] * y.shape[1] * y.shape[2]
+            unbiased = var * (count / max(count - 1, 1))
+            m = BN_MOMENTUM
+            new_stats = {
+                "mean": (1 - m) * stats["mean"] + m * mean,
+                "var": (1 - m) * stats["var"] + m * unbiased,
+            }
+        else:
+            mean, var = stats["mean"], stats["var"]
+            new_stats = stats
+        inv = params["scale"] * jax.lax.rsqrt(var + BN_EPS)
+        y = y * inv + (params["bias"] - mean * inv)
+        if self.activation == "leaky":
+            y = leaky_relu(y)
+        return y, new_stats
+
+    def fold(self, params, stats):
+        """Fold BN into the conv: returns Conv-style params for apply_folded."""
+        inv = params["scale"] * jax.lax.rsqrt(stats["var"] + BN_EPS)
+        kernel = params["kernel"] * inv[None, None, None, :]
+        bias = params["bias"] - stats["mean"] * inv
+        return {"kernel": kernel, "bias": bias}
+
+    def apply_folded(self, folded, x, ctx):
+        y = conv2d(x, folded["kernel"], self.stride, self.padding, ctx["dtype"])
+        y = y + folded["bias"]
+        if self.activation == "leaky":
+            y = leaky_relu(y)
+        return y
+
+
+class Conv(Module):
+    """Plain conv with bias, no norm/activation (prediction heads).
+
+    torch layout: ``{prefix}.weight`` / ``{prefix}.bias``.
+    """
+
+    def __init__(self, cin, cout, ksize, stride=1, padding=0):
+        self.cin, self.cout, self.ksize = cin, cout, ksize
+        self.stride, self.padding = stride, padding
+
+    def init(self, key):
+        return _conv_init(key, self.ksize, self.cin, self.cout, with_bias=True), {}
+
+    def apply(self, params, stats, x, ctx):
+        y = conv2d(x, params["kernel"], self.stride, self.padding, ctx["dtype"])
+        return y + params["bias"], stats
+
+    def fold(self, params, stats):
+        return params
+
+    def apply_folded(self, folded, x, ctx):
+        y, _ = self.apply(folded, {}, x, ctx)
+        return y
+
+
+class NearestUpsample(Module):
+    """Nearest-neighbor x``scale`` upsample (reference model/base.py:95-101)."""
+
+    def __init__(self, scale_factor):
+        self.scale = int(scale_factor)
+
+    def init(self, key):
+        return {}, {}
+
+    def apply(self, params, stats, x, ctx):
+        b, h, w, c = x.shape
+        s = self.scale
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c))
+        return y.reshape(b, h * s, w * s, c), stats
+
+    def apply_folded(self, folded, x, ctx):
+        y, _ = self.apply({}, {}, x, ctx)
+        return y
+
+    def fold(self, params, stats):
+        return {}
+
+
+class Sequential(Module):
+    def __init__(self, *modules):
+        self.modules = list(modules)
+
+    def __getitem__(self, i):
+        return self.modules[i]
+
+    def init(self, key):
+        keys = jax.random.split(key, max(len(self.modules), 1))
+        params, stats = [], []
+        for k, m in zip(keys, self.modules):
+            p, s = m.init(k)
+            params.append(p)
+            stats.append(s)
+        return params, stats
+
+    def apply(self, params, stats, x, ctx):
+        new_stats = []
+        for m, p, s in zip(self.modules, params, stats):
+            x, ns = m.apply(p, s, x, ctx)
+            new_stats.append(ns)
+        return x, new_stats
+
+    def fold(self, params, stats):
+        return [m.fold(p, s) for m, p, s in zip(self.modules, params, stats)]
+
+    def apply_folded(self, folded, x, ctx):
+        for m, f in zip(self.modules, folded):
+            x = m.apply_folded(f, x, ctx)
+        return x
+
+    def named_modules(self, torch_prefix=""):
+        for i, m in enumerate(self.modules):
+            yield from m.named_modules(f"{torch_prefix}.{i}" if torch_prefix else str(i))
+
+
+def upsample_matrix(out_size, in_size, align_corners=False):
+    """Dense 1-D bilinear interpolation matrix (out_size, in_size), matching
+    torch ``F.interpolate(mode='bilinear', align_corners=False)`` source-coordinate
+    semantics (reference eval/orienmask_yolo_postprocess.py:70).
+
+    Applying along H then W as two matmuls puts the upsample on the MXU instead of
+    a gather — the TPU-friendly formulation.
+    """
+    m = np.zeros((out_size, in_size), np.float32)
+    if align_corners and out_size > 1:
+        src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size) + 0.5) * scale - 0.5
+    src = np.clip(src, 0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    m[np.arange(out_size), lo] += 1 - frac
+    m[np.arange(out_size), hi] += frac
+    return m
+
+
+def bilinear_resize(x, out_h, out_w, align_corners=False):
+    """Bilinear resize of NHWC ``x`` to (out_h, out_w) via two MXU matmuls."""
+    in_h, in_w = x.shape[1], x.shape[2]
+    mh = jnp.asarray(upsample_matrix(out_h, in_h, align_corners))
+    mw = jnp.asarray(upsample_matrix(out_w, in_w, align_corners))
+    x = jnp.einsum("Hh,bhwc->bHwc", mh, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("Ww,bhwc->bhWc", mw, x, preferred_element_type=jnp.float32)
+    return x

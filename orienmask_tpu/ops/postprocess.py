@@ -1,0 +1,216 @@
+"""OrienMask postprocess as one static-shape XLA program.
+
+Reference: eval/orienmask_yolo_postprocess.py + the eval/src CUDA NMS extension.
+The reference loops over images in Python, filters with dynamic-shape ``nonzero``,
+calls a CUDA NMS kernel (device->host sync for the suppression mask) and assembles
+masks per image.  Here the entire batch path — decode, confidence filter, top-k,
+class-offset greedy NMS, orientation->mask assembly — is a single jitted function:
+
+  * dynamic ``nonzero`` -> score-masked ``top_k`` to ``nms_pre`` (same selected set:
+    both keep the top 400 above-threshold (det, class) pairs);
+  * CUDA NMS -> fixed 100-iteration greedy selection (ops/nms.py);
+  * per-detection orientation mask via the normalized-coordinate identity
+    ``|up * anchor_norm/2 + mesh_norm - center| < orien_thresh * wh`` which folds the
+    reference's per-scale ``base_xy`` grids (postprocess.py:38-61,141-164) into one
+    resolution-independent form;
+  * the three stride-4 orientation maps are upsampled x4 (bilinear,
+    align_corners=False) with MXU matmuls in one shot.
+
+Flatten order is scale-major then anchor-major, matching the reference concatenation
+(postprocess.py:59-63) for tie-breaking parity.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import bilinear_resize
+from .nms import NEG_INF, batched_class_nms
+
+
+def _pair(x):
+    return (x, x) if isinstance(x, int) else tuple(x)
+
+
+class OrienMaskYOLOPostProcess:
+    def __init__(self, grid_size, image_size, anchors, anchor_mask, num_classes,
+                 conf_thresh=0.05, nms=None, nms_pre=400, nms_post=100,
+                 orien_thresh=0.3, topk_mode="twostage", pack_masks=False):
+        self.grid_hw = [tuple(g) for g in grid_size]
+        self.image_h, self.image_w = _pair(image_size)
+        self.anchor_mask = [list(m) for m in anchor_mask]
+        self.num_anchors_total = len(anchors)
+        self.num_classes = num_classes
+        self.conf_thresh = float(conf_thresh)
+        nms = nms or {}
+        self.nms_threshold = float(nms.get("threshold", 0.5))
+        self.nms_pre = int(nms_pre)
+        self.nms_post = int(nms_post)
+        self.orien_thresh = float(orien_thresh)
+        self.topk_mode = topk_mode
+        self.pack_masks = pack_masks
+
+        anchors = np.asarray(anchors, np.float32)
+        self.norm_anchors = anchors / np.array([self.image_w, self.image_h], np.float32)
+
+        # Global anchor index of every flattened prediction (scale-major, anchor-major).
+        det_anchor = []
+        for (nh, nw), mask in zip(self.grid_hw, self.anchor_mask):
+            det_anchor.append(np.repeat(np.asarray(mask, np.int32), nh * nw))
+        self.det_anchor_idx = np.concatenate(det_anchor)
+        self.num_preds = int(self.det_anchor_idx.shape[0])
+
+        # Channel permutation taking scale-major orientation channels to global
+        # anchor order: upsampled channel layout is [scale0 anchors, scale1, scale2],
+        # each anchor contributing (x, y).
+        perm = np.zeros(self.num_anchors_total * 2, np.int64)
+        c = 0
+        for mask in self.anchor_mask:
+            for a in mask:
+                perm[2 * a] = c
+                perm[2 * a + 1] = c + 1
+                c += 2
+        self.orien_channel_perm = perm
+
+        # Normalized pixel-center mesh (reference base_xy collapsed, see module doc).
+        ys = (np.arange(self.image_h, dtype=np.float32)) / self.image_h
+        xs = (np.arange(self.image_w, dtype=np.float32)) / self.image_w
+        self.mesh_x = xs[None, :]  # (1, W)
+        self.mesh_y = ys[:, None]  # (H, 1)
+
+        self._apply_batch = jax.jit(functools.partial(self._run_batch))
+
+    # ------------------------------------------------------------------ decode
+
+    def _decode_scale(self, bbox, scale_idx):
+        """(H, W, A*(5+C)) -> coords (A*H*W, 4) normalized cxcywh, conf (A*H*W, C)."""
+        nh, nw = self.grid_hw[scale_idx]
+        mask = self.anchor_mask[scale_idx]
+        na = len(mask)
+        c = self.num_classes
+        b = bbox.reshape(nh, nw, na, 5 + c).transpose(2, 0, 1, 3)  # (A,H,W,5+C)
+
+        gx = jnp.arange(nw, dtype=jnp.float32)[None, None, :]
+        gy = jnp.arange(nh, dtype=jnp.float32)[None, :, None]
+        x = (jax.nn.sigmoid(b[..., 0]) + gx) / nw
+        y = (jax.nn.sigmoid(b[..., 1]) + gy) / nh
+        anchors = jnp.asarray(self.norm_anchors[mask])  # (A, 2)
+        w = jnp.exp(b[..., 2]) * anchors[:, 0][:, None, None]
+        h = jnp.exp(b[..., 3]) * anchors[:, 1][:, None, None]
+        obj = jax.nn.sigmoid(b[..., 4])
+        cls = jax.nn.sigmoid(b[..., 5:])
+        conf = cls * obj[..., None]
+        coords = jnp.stack([x, y, w, h], axis=-1).reshape(-1, 4)
+        return coords, conf.reshape(-1, c)
+
+    # ----------------------------------------------------------- candidate sel
+
+    def _select_candidates(self, conf):
+        """Top ``nms_pre`` above-threshold (det, class) pairs from (P, C) scores."""
+        p, c = conf.shape
+        masked = jnp.where(conf > self.conf_thresh, conf, -1.0)
+        if self.topk_mode == "exact":
+            v, idx = jax.lax.top_k(masked.reshape(-1), self.nms_pre)
+            det_idx = idx // c
+            cls_idx = idx % c
+        else:
+            # Two-stage: top nms_pre detections by per-det max, then top nms_pre
+            # pairs within. Equal to exact selection except at exact score ties.
+            det_max = jnp.max(masked, axis=1)
+            _, top_det = jax.lax.top_k(det_max, self.nms_pre)
+            sub = masked[top_det]  # (nms_pre, C)
+            v, idx = jax.lax.top_k(sub.reshape(-1), self.nms_pre)
+            det_idx = top_det[idx // c]
+            cls_idx = idx % c
+        valid = v > self.conf_thresh
+        return det_idx, cls_idx, v, valid
+
+    # ------------------------------------------------------------------- masks
+
+    def _assemble_masks(self, orien_field, anchor_idx, boxes):
+        """orien_field: (H, W, A_total, 2) upsampled raw orientation predictions.
+        boxes: (K, 4) normalized cxcywh.  Returns (K, H, W) bool masks."""
+        na = jnp.asarray(self.norm_anchors)  # (At, 2)
+        mesh_x = jnp.asarray(self.mesh_x)
+        mesh_y = jnp.asarray(self.mesh_y)
+
+        def one(a, box):
+            fx = orien_field[:, :, a, 0] * (na[a, 0] * 0.5) + mesh_x
+            fy = orien_field[:, :, a, 1] * (na[a, 1] * 0.5) + mesh_y
+            mx = jnp.abs(fx - box[0]) < self.orien_thresh * box[2]
+            my = jnp.abs(fy - box[1]) < self.orien_thresh * box[3]
+            return mx & my
+
+        return jax.vmap(one)(anchor_idx, boxes)
+
+    # ----------------------------------------------------------------- runners
+
+    def _run_image(self, pred_bboxes, orien_field):
+        coords, confs = [], []
+        for i, bbox in enumerate(pred_bboxes):
+            co, cf = self._decode_scale(bbox, i)
+            coords.append(co)
+            confs.append(cf)
+        coords = jnp.concatenate(coords, axis=0)
+        conf = jnp.concatenate(confs, axis=0)
+
+        det_idx, cls_idx, scores, valid = self._select_candidates(conf)
+        cand_boxes = coords[det_idx]
+        cand_anchor = jnp.asarray(self.det_anchor_idx)[det_idx]
+        nms_scores = jnp.where(valid, scores, NEG_INF)
+        keep_idx, keep_valid = batched_class_nms(
+            cand_boxes, nms_scores, cls_idx, self.nms_post, self.nms_threshold
+        )
+
+        boxes = cand_boxes[keep_idx]
+        out_scores = jnp.where(keep_valid, scores[keep_idx], 0.0)
+        out_cls = cls_idx[keep_idx].astype(jnp.int32)
+        out_anchor = cand_anchor[keep_idx]
+        masks = self._assemble_masks(orien_field, out_anchor, boxes)
+        masks = masks & keep_valid[:, None, None]
+
+        bbox_out = jnp.concatenate([boxes, out_scores[:, None]], axis=1)
+        return {"bbox": bbox_out, "cls": out_cls, "mask": masks, "valid": keep_valid}
+
+    def _upsample_orientation(self, pred_oriens):
+        """3x (B, H/4, W/4, A*2) -> (B, H, W, A_total, 2) in global anchor order."""
+        x = jnp.concatenate(pred_oriens, axis=-1)  # (B, H/4, W/4, 6A)
+        up = bilinear_resize(x, self.image_h, self.image_w)
+        up = up[..., jnp.asarray(self.orien_channel_perm)]
+        b = up.shape[0]
+        return up.reshape(b, self.image_h, self.image_w, self.num_anchors_total, 2)
+
+    def _run_batch(self, predict):
+        pred_bboxes = [p[0] for p in predict]
+        pred_oriens = [p[1] for p in predict]
+        orien_field = self._upsample_orientation(pred_oriens)
+        out = jax.vmap(self._run_image)(pred_bboxes, orien_field)
+        if self.pack_masks:
+            from .maskops import pack_bits
+            out["mask"] = pack_bits(out["mask"])
+        return out
+
+    def apply_device(self, predict):
+        """Jit-compiled batch postprocess; returns device arrays
+        {'bbox': (B,K,5), 'cls': (B,K), 'mask': (B,K,H,W[/8]), 'valid': (B,K)}."""
+        return self._apply_batch(tuple(tuple(p) for p in predict))
+
+    def __call__(self, predict):
+        """Reference-compatible API: list (len B) of per-image dicts with arrays
+        trimmed to the valid detection count (host numpy)."""
+        out = jax.device_get(self.apply_device(predict))
+        masks = out["mask"]
+        if self.pack_masks:
+            from .maskops import unpack_bits_np
+            masks = unpack_bits_np(masks, self.image_w)
+        results = []
+        for b in range(out["bbox"].shape[0]):
+            n = int(out["valid"][b].sum())
+            results.append({
+                "bbox": out["bbox"][b, :n],
+                "mask": masks[b, :n],
+                "cls": out["cls"][b, :n],
+            })
+        return results

@@ -1,0 +1,224 @@
+"""Vectorized OrienMask target assignment.
+
+Reference ``build_targets`` (eval/orienmask_yolo_loss.py:156-286) is a python
+per-sample loop with an inner per-instance loop painting orientation targets — the
+worst serialization in the reference (SURVEY.md §3.1).  Here the same semantics are
+re-derived as static-shape tensor programs over a padded ``(N_max,)`` instance axis:
+
+  * grid-cell assignment: the reference's sequential writes are last-instance-wins;
+    reproduced with a scatter-max of the instance index per cell and a gather.
+  * ``tcls`` keeps the reference's multi-hot quirk: *every* matched instance writes
+    its class bit at its cell (advanced indexing writes all (cell, cls) pairs).
+  * orientation painting: the sequential per-instance loop reduces to a closed form —
+    a pixel covered by any instance (within its ROI) takes the offset of the *last*
+    covering instance and mask=-1; otherwise it accumulates background push-to-border
+    offsets from every ROI it falls in, averaged by count.  Realized as a chunked
+    ``lax.scan`` (chunk instances vectorized per step, later chunk wins).
+
+All constants are precomputed in numpy at builder-construction time.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxes import anchor_ious, bbox_ious
+
+
+class TargetBuilder:
+    """Per-scale target builder. Call with one sample's GT + predicted boxes."""
+
+    def __init__(self, grid_size, image_size, anchors, anchor_mask, num_classes,
+                 center_region=0.6, valid_region=0.6, label_smooth=False,
+                 obj_ignore_threshold=0.5, chunk=8):
+        self.grid_h, self.grid_w = (grid_size, grid_size) if isinstance(grid_size, int) else tuple(grid_size)
+        self.image_h, self.image_w = (image_size, image_size) if isinstance(image_size, int) else tuple(image_size)
+        self.anchor_mask = list(anchor_mask)
+        self.num_anchors = len(self.anchor_mask)
+        self.num_classes = num_classes
+        self.center_region = center_region
+        self.valid_region = valid_region
+        self.label_smooth = 1.0 / max(num_classes, 40) if label_smooth else 0.0
+        self.obj_ignore_threshold = obj_ignore_threshold
+        self.chunk = chunk
+
+        image_wh = np.array([self.image_w, self.image_h], np.float32)
+        grid_wh = np.array([self.grid_w, self.grid_h], np.float32)
+        self.scale_wh = image_wh / grid_wh  # pixels per grid cell
+        all_anchors = np.asarray(anchors, np.float32)
+        self.grid_all_anchors = all_anchors / self.scale_wh  # (9, 2) grid units
+        self.pixel_anchors = all_anchors[self.anchor_mask]  # (A, 2) pixels
+        self.grid_anchors = self.grid_all_anchors[self.anchor_mask]  # (A, 2)
+
+        # global anchor id -> local index in this scale's mask (or -1)
+        lookup = np.full(len(all_anchors), -1, np.int32)
+        for i, a in enumerate(self.anchor_mask):
+            lookup[a] = i
+        self.local_anchor = lookup
+
+    # ------------------------------------------------------------------ public
+
+    def __call__(self, gt_bbox, gt_cls, gt_mask, gt_valid, pred_boxes):
+        """Args (one sample, static shapes):
+          gt_bbox: (N, 4) normalized cxcywh; gt_cls: (N,) int32;
+          gt_mask: (N, H, W) bool; gt_valid: (N,) bool;
+          pred_boxes: (A*nH*nW, 4) cxcywh in grid units (detached).
+        Returns the 10-tuple of reference build_targets outputs, NHWC-free layout
+        (A, nH, nW, ...) / (A, H, W, ...)."""
+        nA, nH, nW = self.num_anchors, self.grid_h, self.grid_w
+        ncell = nA * nH * nW
+        n = gt_bbox.shape[0]
+        c = self.num_classes
+
+        g = gt_bbox * jnp.array([nW, nH, nW, nH], jnp.float32)
+        gxy, gwh = g[:, 0:2], g[:, 2:4]
+        gwh_safe = jnp.where(gt_valid[:, None], gwh, 1.0)
+
+        # ---- ignore mask: any GT overlapping a prediction strongly enough
+        iou_pg = bbox_ious(pred_boxes, g)  # (P, N)
+        iou_pg = jnp.where(gt_valid[None, :], iou_pg, 0.0)
+        ignore = jnp.any(iou_pg > self.obj_ignore_threshold, axis=-1)  # (P,)
+
+        # ---- anchor matching (argmax wh-IoU over all 9 anchors, filtered to scale)
+        aiou = anchor_ious(gwh_safe, jnp.asarray(self.grid_all_anchors))  # (N, 9)
+        match_index = jnp.argmax(aiou, axis=-1)
+        local = jnp.asarray(self.local_anchor)[match_index]  # (N,)
+        matched = gt_valid & (local >= 0)
+        ma = jnp.maximum(local, 0)
+
+        gx = jnp.clip(jnp.floor(gxy[:, 0]), 0, nW - 1).astype(jnp.int32)
+        gy = jnp.clip(jnp.floor(gxy[:, 1]), 0, nH - 1).astype(jnp.int32)
+        cell = (ma * nH + gy) * nW + gx
+        cell_s = jnp.where(matched, cell, ncell)  # dummy slot for unmatched
+
+        karange = jnp.arange(n, dtype=jnp.int32)
+        winner = jnp.full((ncell + 1,), -1, jnp.int32).at[cell_s].max(karange)[:ncell]
+        has_pos = winner >= 0
+        wi = jnp.maximum(winner, 0)
+
+        pos_f = has_pos.astype(jnp.float32)
+        bbox_pos_mask = pos_f.reshape(nA, nH, nW)
+        bbox_neg_mask = ((~ignore) & (~has_pos)).astype(jnp.float32).reshape(nA, nH, nW)
+
+        pos_scale_k = 2.0 - gwh[:, 0] * gwh[:, 1] / (nW * nH)
+        txy_k = gxy - jnp.floor(gxy)
+        twh_k = jnp.log(gwh_safe / jnp.asarray(self.grid_anchors)[ma])
+
+        bbox_pos_scale = (pos_scale_k[wi] * pos_f).reshape(nA, nH, nW)
+        txy = (txy_k[wi] * pos_f[:, None]).reshape(nA, nH, nW, 2)
+        twh = (twh_k[wi] * pos_f[:, None]).reshape(nA, nH, nW, 2)
+        tiou = (iou_pg[jnp.arange(ncell), wi] * pos_f).reshape(nA, nH, nW)
+
+        # multi-hot tcls (reference quirk: every matched instance sets its class bit)
+        cls_idx = jnp.where(matched, cell * c + gt_cls.astype(jnp.int32), ncell * c)
+        hot = jnp.zeros((ncell * c + 1,), jnp.float32).at[cls_idx].max(1.0)[:ncell * c]
+        ls = self.label_smooth
+        tcls = (ls + hot * (1.0 - 2.0 * ls)).reshape(nA, nH, nW, c)
+
+        orien_pos, orien_neg, torien = self._orientation_targets(
+            gxy, gwh, ma, matched, gt_mask
+        )
+
+        return (bbox_pos_mask, bbox_neg_mask, bbox_pos_scale, txy, twh, tiou, tcls,
+                orien_pos, orien_neg, torien)
+
+    # -------------------------------------------------------------- orientation
+
+    def _orientation_targets(self, gxy, gwh, ma, matched, gt_mask):
+        nA = self.num_anchors
+        h, w = self.image_h, self.image_w
+        n = gxy.shape[0]
+        chunk = min(self.chunk, n)
+        pad = (-n) % chunk
+        n_pad = n + pad
+        steps = n_pad // chunk
+
+        sw, sh = float(self.scale_wh[0]), float(self.scale_wh[1])
+        centers = gxy * jnp.array([sw, sh])  # (N, 2) pixel centers
+        vwh = (gwh * self.valid_region + 0.5) * jnp.array([sw, sh])  # (N, 2)
+        cwh = vwh / self.valid_region * self.center_region  # (N, 2)
+        x1 = jnp.round(jnp.clip(centers[:, 0] - vwh[:, 0], 0, w - 1))
+        x2 = jnp.round(jnp.clip(centers[:, 0] + vwh[:, 0], 0, w - 1)) + 1
+        y1 = jnp.round(jnp.clip(centers[:, 1] - vwh[:, 1], 0, h - 1))
+        y2 = jnp.round(jnp.clip(centers[:, 1] + vwh[:, 1], 0, h - 1)) + 1
+        bounds = jnp.stack([x1, x2, y1, y2], axis=1)  # (N, 4)
+
+        def pad_to(x):
+            if pad == 0:
+                return x
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        pk = jax.tree_util.tree_map(pad_to, {
+            "centers": centers, "cwh": cwh, "bounds": bounds,
+            "ma": ma, "act": matched, "mask": gt_mask,
+        })
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape(steps, chunk, *x.shape[1:]), pk
+        )
+
+        mesh_x = jnp.arange(w, dtype=jnp.float32)[None, :]  # (1, W)
+        mesh_y = jnp.arange(h, dtype=jnp.float32)[:, None]  # (H, 1)
+        mesh_xy = jnp.stack(
+            [jnp.broadcast_to(mesh_x, (h, w)), jnp.broadcast_to(mesh_y, (h, w))], axis=-1
+        )  # (H, W, 2)
+
+        def step(carry, data):
+            inst_any, win_center, bg_cnt, bg_sum = carry
+            cen, cw, bnd = data["centers"], data["cwh"], data["bounds"]
+            a_oh = (jnp.arange(nA)[None, :] == data["ma"][:, None]) & data["act"][:, None]
+            a_oh = a_oh.astype(jnp.float32)  # (C, A)
+
+            roi = (
+                (mesh_x >= bnd[:, 0, None, None]) & (mesh_x < bnd[:, 1, None, None])
+                & (mesh_y >= bnd[:, 2, None, None]) & (mesh_y < bnd[:, 3, None, None])
+            )  # (C, H, W)
+            inst = roi & data["mask"] & data["act"][:, None, None]
+            bg = roi & (~data["mask"]) & data["act"][:, None, None]
+
+            offset = mesh_xy[None] - cen[:, None, None, :]  # (C, H, W, 2)
+            offlen = jnp.maximum(jnp.abs(offset), 1e-8)
+            sneg = jnp.min(jnp.maximum(cw[:, None, None, :] / offlen, 1.0), axis=-1) - 1.0
+            negoff = sneg[..., None] * jnp.sign(offset) * offlen  # (C, H, W, 2)
+
+            instf = inst.astype(jnp.float32)
+            bgf = bg.astype(jnp.float32)
+            # scatter chunk fields to anchors: (C,H,W) x (C,A) -> (A,H,W)
+            inst_any_c = jnp.einsum("khw,ka->ahw", instf, a_oh) > 0
+            bg_cnt_c = jnp.einsum("khw,ka->ahw", bgf, a_oh)
+            bg_sum_c = jnp.einsum("khwc,ka->ahwc", negoff * bgf[..., None], a_oh)
+            # within-chunk last-wins winner per anchor/pixel (cross-chunk: the
+            # carry merge below lets the later chunk win, preserving global order)
+            rank = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+            pres = instf[:, None, :, :] * a_oh[:, :, None, None]  # (C, A, H, W)
+            wlast = jnp.max(pres * rank[:, None, None, None], axis=0)  # (A, H, W)
+            widx = jnp.clip(wlast.astype(jnp.int32) - 1, 0, chunk - 1)
+            wcen = cen[widx]  # (A, H, W, 2)
+
+            new_inst_any = inst_any | inst_any_c
+            win_center = jnp.where(inst_any_c[..., None], wcen, win_center)
+            bg_cnt = bg_cnt + bg_cnt_c
+            bg_sum = bg_sum + bg_sum_c
+            return (new_inst_any, win_center, bg_cnt, bg_sum), None
+
+        init = (
+            jnp.zeros((nA, h, w), bool),
+            jnp.zeros((nA, h, w, 2), jnp.float32),
+            jnp.zeros((nA, h, w), jnp.float32),
+            jnp.zeros((nA, h, w, 2), jnp.float32),
+        )
+        (inst_any, win_center, bg_cnt, bg_sum), _ = jax.lax.scan(step, init, chunked)
+
+        torien_inst = mesh_xy[None] - win_center  # offset to last covering instance
+        has_bg = (bg_cnt > 0) & (~inst_any)
+        orien_pos = inst_any.astype(jnp.float32)
+        orien_neg = has_bg.astype(jnp.float32)
+
+        raw = jnp.where(inst_any[..., None], torien_inst,
+                        jnp.where(has_bg[..., None], bg_sum, 0.0))
+        half_anchor = jnp.asarray(self.pixel_anchors)[:, None, None, :] / 2.0
+        denom = jnp.where(inst_any, -1.0, jnp.where(has_bg, bg_cnt, 1000.0))
+        torien = raw / half_anchor / denom[..., None]
+        return orien_pos, orien_neg, torien

@@ -1,0 +1,107 @@
+"""Golden tests: JAX model activations vs an independent PyTorch oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from orienmask_tpu.models import OrienMaskYOLO, OrienMaskYOLOFPNPlus
+from orienmask_tpu.models.convert import torch_to_variables
+from orienmask_tpu.models.layers import bilinear_resize
+
+from torch_ref import TorchOrienMaskFPNPlus, upsample4_bilinear
+
+
+def _rand_image(rng, b, h, w):
+    return rng.standard_normal((b, h, w, 3)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def fpnplus_pair():
+    torch.manual_seed(0)
+    tmodel = TorchOrienMaskFPNPlus(num_anchors=3, num_classes=80).eval()
+    # randomize BN running stats so eval-mode BN is non-trivial
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+            m.weight.data.normal_(1, 0.2)
+            m.bias.data.normal_(0, 0.2)
+    jmodel = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+    variables = torch_to_variables(jmodel, tmodel.state_dict())
+    return tmodel, jmodel, variables
+
+
+def test_fpnplus_forward_matches_torch(fpnplus_pair):
+    tmodel, jmodel, variables = fpnplus_pair
+    rng = np.random.default_rng(1)
+    x = _rand_image(rng, 2, 64, 64)
+
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jout, _ = jmodel.forward(variables, jnp.asarray(x), train=False)
+
+    for s in range(3):
+        for j in range(2):  # bbox, orien
+            ref = tout[s][j].numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(jout[s][j])
+            assert got.shape == ref.shape, (s, j, got.shape, ref.shape)
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fpnplus_folded_matches_unfolded(fpnplus_pair):
+    _, jmodel, variables = fpnplus_pair
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(_rand_image(rng, 1, 64, 64))
+    out, _ = jmodel.forward(variables, x, train=False)
+    folded = jmodel.fold(variables)
+    from orienmask_tpu.models.layers import default_ctx
+
+    out_f = jmodel.apply_folded(folded, x, default_ctx())
+    for s in range(3):
+        for j in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out_f[s][j]), np.asarray(out[s][j]), rtol=1e-3, atol=1e-3
+            )
+
+
+def test_output_shapes_544():
+    jmodel = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+    variables = jmodel.init_variables(jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((1, 544, 544, 3), jnp.float32)
+    out, _ = jax.eval_shape(lambda v, im: jmodel.forward(v, im), variables, x)
+    (b32, o32), (b16, o16), (b8, o8) = out
+    assert b32.shape == (1, 17, 17, 255)
+    assert b16.shape == (1, 34, 34, 255)
+    assert b8.shape == (1, 68, 68, 255)
+    for o in (o32, o16, o8):
+        assert o.shape == (1, 136, 136, 6)
+
+
+def test_base_variant_shapes():
+    jmodel = OrienMaskYOLO(num_anchors=3, num_classes=80)
+    variables = jmodel.init_variables(jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32)
+    out, _ = jax.eval_shape(lambda v, im: jmodel.forward(v, im), variables, x)
+    assert out[0][0].shape == (1, 4, 4, 255)
+    assert out[2][1].shape == (1, 32, 32, 6)
+
+
+def test_train_mode_bn_updates_stats():
+    jmodel = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+    variables = jmodel.init_variables(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    _, new_stats = jmodel.forward(variables, x, train=True)
+    old = variables["batch_stats"]["backbone"]["conv1"]["mean"]
+    new = new_stats["backbone"]["conv1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_bilinear_resize_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 17, 23, 4)).astype(np.float32)
+    ref = upsample4_bilinear(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(bilinear_resize(jnp.asarray(x), 68, 92))
+    np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,110 @@
+"""Static-shape XLA postprocess vs the sequential numpy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orienmask_tpu.config.base import ANCHORS_YOLOV4, ANCHORS_MASK
+from orienmask_tpu.ops.postprocess import OrienMaskYOLOPostProcess
+from orienmask_tpu.ops.nms import nms_keep_mask
+
+from numpy_ref import reference_postprocess, greedy_nms
+
+# Small geometry for test speed: 160x160 image, grids 5/10/20.
+IMAGE = (160, 160)
+GRIDS = [[5, 5], [10, 10], [20, 20]]
+NUM_CLASSES = 12
+
+
+def _random_predictions(seed, sharpen=2.0):
+    """Raw NHWC model outputs for one image: 3x (bbox, orien)."""
+    rng = np.random.default_rng(seed)
+    preds = []
+    for (nh, nw), mask in zip(GRIDS, ANCHORS_MASK):
+        na = len(mask)
+        bbox = rng.standard_normal((nh, nw, na * (5 + NUM_CLASSES))).astype(np.float32)
+        # push obj/cls logits up a bit so a realistic number pass conf_thresh
+        bbox = bbox * sharpen
+        orien = rng.standard_normal((IMAGE[0] // 4, IMAGE[1] // 4, na * 2)).astype(np.float32)
+        preds.append((bbox, orien))
+    return preds
+
+
+def _make_pp(topk_mode="exact", conf_thresh=0.2):
+    return OrienMaskYOLOPostProcess(
+        grid_size=GRIDS,
+        image_size=list(IMAGE),
+        anchors=ANCHORS_YOLOV4,
+        anchor_mask=ANCHORS_MASK,
+        num_classes=NUM_CLASSES,
+        conf_thresh=conf_thresh,
+        nms=dict(type="batched_nms", threshold=0.5),
+        nms_pre=50,
+        nms_post=20,
+        orien_thresh=0.3,
+        topk_mode=topk_mode,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("topk_mode", ["exact", "twostage"])
+def test_postprocess_matches_oracle(seed, topk_mode):
+    preds = _random_predictions(seed)
+    pp = _make_pp(topk_mode)
+    batch = [(jnp.asarray(b)[None], jnp.asarray(o)[None]) for b, o in preds]
+    got = pp(batch)[0]
+
+    ref = reference_postprocess(
+        preds, GRIDS, IMAGE, ANCHORS_YOLOV4, ANCHORS_MASK, NUM_CLASSES,
+        conf_thresh=0.2, nms_thresh=0.5, nms_pre=50, nms_post=20, orien_thresh=0.3,
+    )
+
+    assert got["bbox"].shape[0] == ref["bbox"].shape[0], "detection count mismatch"
+    np.testing.assert_allclose(got["bbox"], ref["bbox"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got["cls"], ref["cls"])
+    # Masks: allow a handful of boundary pixels to differ (float assoc. in upsample)
+    if ref["mask"].shape[0]:
+        diff = got["mask"] ^ ref["mask"]
+        frac = diff.mean()
+        assert frac < 1e-4, f"mask pixel mismatch fraction {frac}"
+
+
+def test_no_detections():
+    preds = _random_predictions(3, sharpen=1.0)
+    # suppress everything: huge negative obj logits
+    preds = [((b - 100.0), o) for b, o in preds]
+    pp = _make_pp()
+    batch = [(jnp.asarray(b)[None], jnp.asarray(o)[None]) for b, o in preds]
+    got = pp(batch)[0]
+    assert got["bbox"].shape[0] == 0
+    assert got["mask"].shape[0] == 0
+
+
+def test_full_nms_keep_mask_matches_sequential():
+    rng = np.random.default_rng(7)
+    n = 64
+    boxes = np.stack([
+        rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+        rng.uniform(0.05, 0.4, n), rng.uniform(0.05, 0.4, n),
+    ], axis=1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    keep_ref = greedy_nms(boxes.astype(np.float64), scores.astype(np.float64), 0.5)
+    keep_got = np.flatnonzero(np.asarray(
+        nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5)
+    ))
+    np.testing.assert_array_equal(keep_got, keep_ref)
+
+
+def test_packed_masks_roundtrip():
+    preds = _random_predictions(0)
+    pp_plain = _make_pp()
+    pp_packed = _make_pp()
+    pp_packed.pack_masks = True
+    pp_packed._apply_batch = pp_packed._apply_batch  # same jit, flag read at trace
+    import jax, functools
+    pp_packed._apply_batch = jax.jit(functools.partial(pp_packed._run_batch))
+    batch = [(jnp.asarray(b)[None], jnp.asarray(o)[None]) for b, o in preds]
+    got_plain = pp_plain(batch)[0]
+    got_packed = pp_packed(batch)[0]
+    np.testing.assert_array_equal(got_packed["mask"], got_plain["mask"])
