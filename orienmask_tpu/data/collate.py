@@ -1,0 +1,81 @@
+"""Static-shape batch collation.
+
+The reference concatenates variable-count instances with a cumsum index vector
+(data/collate.py:13-30) — a dynamic shape per batch that would force an XLA
+recompile every step.  Here every sample is padded to ``max_instances`` with a
+validity mask, so one compiled train step serves the whole epoch.  GT instance
+masks are optionally bit-packed (8 pixels/byte) to cut host->device transfer 8x;
+the loss unpacks them on-device.
+"""
+
+import math
+
+import numpy as np
+
+
+def naive_collate(batch, **kw):
+    return batch
+
+
+def collate(batch, max_instances=100, pack_masks=False):
+    """List of transformed samples -> batch dict of stacked numpy arrays:
+    ``{'image': (B,H,W,3) f32, 'bbox': (B,N,4) f32, 'cls': (B,N) i32,
+    'mask': (B,N,H,W) bool | (B,N,H,ceil(W/8)) u8, 'valid': (B,N) bool}``
+    plus ``'info'``: list of per-sample info dicts when present."""
+    bsz = len(batch)
+    image = np.stack([s["image"] for s in batch])
+    h, w = image.shape[1:3]
+    n = max_instances
+
+    bbox = np.zeros((bsz, n, 4), np.float32)
+    cls = np.zeros((bsz, n), np.int32)
+    valid = np.zeros((bsz, n), bool)
+    with_mask = "mask" in batch[0]
+    if with_mask:
+        masks = np.zeros((bsz, n, h, w), bool)
+    for i, s in enumerate(batch):
+        k = min(s["bbox"].shape[0], n)
+        bbox[i, :k] = s["bbox"][:k]
+        cls[i, :k] = s["cls"][:k]
+        valid[i, :k] = True
+        if with_mask and k:
+            masks[i, :k] = s["mask"][:k]
+
+    out = {"image": image, "bbox": bbox, "cls": cls, "valid": valid}
+    if with_mask:
+        if pack_masks:
+            out["mask"] = np.packbits(masks, axis=-1)
+        else:
+            out["mask"] = masks
+    if "info" in batch[0]:
+        out["info"] = [s["info"] for s in batch]
+    return out
+
+
+def collate_plus(batch, max_instances=100, pack_masks=False, size_divisor=32,
+                 pad_value=0.0):
+    """Pads all images in the batch to a common /size_divisor shape first,
+    adjusting normalized boxes and recording ``info['collate_pad']``
+    (reference collate_plus, data/collate.py:33-59)."""
+    max_h = max(s["image"].shape[0] for s in batch)
+    max_w = max(s["image"].shape[1] for s in batch)
+    max_h = int(math.ceil(max_h / size_divisor) * size_divisor)
+    max_w = int(math.ceil(max_w / size_divisor) * size_divisor)
+
+    for s in batch:
+        h, w = s["image"].shape[:2]
+        left, top = (max_w - w) // 2, (max_h - h) // 2
+        right, down = max_w - w - left, max_h - h - top
+        s["image"] = np.pad(s["image"], ((top, down), (left, right), (0, 0)),
+                            constant_values=pad_value)
+        bb = s["bbox"]
+        if bb.shape[0]:
+            bb[:, 0] = (bb[:, 0] * w + left) / max_w
+            bb[:, 1] = (bb[:, 1] * h + top) / max_h
+            bb[:, 2] = bb[:, 2] * w / max_w
+            bb[:, 3] = bb[:, 3] * h / max_h
+        if "mask" in s and len(s["mask"]):
+            s["mask"] = np.pad(s["mask"], ((0, 0), (top, down), (left, right)))
+        if "info" in s:
+            s["info"]["collate_pad"] = (left, right, top, down, max_h, max_w)
+    return collate(batch, max_instances, pack_masks)

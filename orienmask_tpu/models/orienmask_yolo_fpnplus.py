@@ -7,6 +7,8 @@ head.  Outputs three (bbox_s, orien_s) NHWC tuples at strides 32/16/8; orientati
 live at stride 4 with 2 (x, y) channels per anchor.
 """
 
+from contextlib import nullcontext as _nullcontext
+
 import jax
 import jax.numpy as jnp
 
@@ -73,10 +75,23 @@ class _BaseOrienMask(Module):
         return params, stats
 
     def init_variables(self, key):
-        params, stats = self.init(key)
+        # Init on the host CPU backend: eagerly dispatching ~600 tiny init ops
+        # to a (possibly remote) TPU is minutes of round-trips.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+        with ctx:
+            params, stats = self.init(key)
         if self.pretrained:
             from .convert import load_pretrained_backbone
             params, stats = load_pretrained_backbone(self, params, stats, self.pretrained)
+        # Un-commit from the CPU backend: arrays built under default_device(cpu)
+        # are pinned there and would drag every downstream jit onto the CPU.
+        default = jax.devices()[0]
+        params = jax.device_put(params, default)
+        stats = jax.device_put(stats, default)
         return {"params": params, "batch_stats": stats}
 
     def forward(self, variables, x, train=False, dtype=jnp.float32):
@@ -85,9 +100,17 @@ class _BaseOrienMask(Module):
         return out, new_stats
 
     def fold(self, variables):
-        """Fold all BN layers into conv kernels for the fused inference path."""
+        """Fold all BN layers into conv kernels for the fused inference path.
+        Runs on the host CPU backend (same remote-dispatch concern as init)."""
         p, s = variables["params"], variables["batch_stats"]
-        return {n: getattr(self, n).fold(p[n], s[n]) for n in self._module_names()}
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+        with ctx:
+            folded = {n: getattr(self, n).fold(p[n], s[n]) for n in self._module_names()}
+        return jax.device_put(folded, jax.devices()[0])
 
     def named_modules(self, torch_prefix=""):
         for name in self._module_names():

@@ -1,0 +1,164 @@
+"""ctypes binding + lazy build of the native host kernels (src/omtpu.cc).
+
+Compiled with g++ on first use into ``build/libomtpu.so`` (cached; rebuilt when
+the source is newer).  Every entry point has a numpy fallback, so the package
+works without a toolchain — the native path just makes host-side eval hot loops
+(RLE encode of thousands of masks) fast.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "omtpu.cc")
+_SO = os.path.join(_DIR, "build", "libomtpu.so")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Returns the loaded ctypes library or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.om_nms.restype = ctypes.c_int
+        lib.om_nms.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.om_rle_encode.restype = ctypes.c_int
+        lib.om_rle_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.om_rle_encode_batch.restype = ctypes.c_int
+        lib.om_rle_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.om_resize_bilinear.restype = None
+        lib.om_resize_bilinear.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception as e:  # toolchain missing / build failure: numpy fallback
+        print(f"[orienmask_tpu.native] native build unavailable ({e}); "
+              f"falling back to numpy")
+        _lib = None
+    return _lib
+
+
+def nms(dets, threshold=0.5):
+    """Greedy NMS on (n, 5) cxcywh+score float32; returns keep indices
+    (ascending input order, matching the reference CPU extension)."""
+    lib = get_lib()
+    dets = np.ascontiguousarray(dets, np.float32)
+    n = dets.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if lib is None:
+        return _np_nms(dets, threshold)
+    keep = np.empty(n, np.int64)
+    m = lib.om_nms(dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+                   threshold, keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return keep[:m]
+
+
+def _np_nms(dets, threshold):
+    x1 = dets[:, 0] - dets[:, 2] / 2
+    y1 = dets[:, 1] - dets[:, 3] / 2
+    x2 = dets[:, 0] + dets[:, 2] / 2
+    y2 = dets[:, 1] + dets[:, 3] / 2
+    areas = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-dets[:, 4], kind="stable")
+    suppressed = np.zeros(len(dets), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        inter = (np.clip(np.minimum(x2[i], x2) - np.maximum(x1[i], x1), 0, None)
+                 * np.clip(np.minimum(y2[i], y2) - np.maximum(y1[i], y1), 0, None))
+        iou = inter / (areas[i] + areas - inter)
+        suppressed |= iou >= threshold
+        suppressed[i] = True
+    return np.array(sorted(keep), np.int64)
+
+
+def rle_encode(mask):
+    """HxW uint8 -> compressed counts string, or None when native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask.shape
+    cap = 2 * h * w + 64
+    buf = ctypes.create_string_buffer(cap)
+    ln = lib.om_rle_encode(mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           h, w, buf, cap)
+    if ln < 0:
+        return None
+    return buf.raw[:ln].decode()
+
+
+def rle_encode_batch(masks):
+    """(n, h, w) uint8 -> list of counts strings, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    masks = np.ascontiguousarray(masks, np.uint8)
+    n, h, w = masks.shape
+    if n == 0:
+        return []
+    cap = n * (2 * h * w + 64)
+    buf = ctypes.create_string_buffer(cap)
+    lens = np.empty(n, np.int32)
+    total = lib.om_rle_encode_batch(
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w, buf, cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if total < 0:
+        return None
+    out, p = [], 0
+    raw = buf.raw
+    for ln in lens:
+        out.append(raw[p:p + int(ln)].decode())
+        p += int(ln)
+    return out
+
+
+def resize_bilinear(src, dh, dw, align_corners=False):
+    """float32 HWC resize; returns None when native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.float32)
+    if src.ndim == 2:
+        src = src[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    sh, sw, c = src.shape
+    dst = np.empty((dh, dw, c), np.float32)
+    lib.om_resize_bilinear(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sh, sw, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw,
+        int(align_corners))
+    return dst[..., 0] if squeeze else dst

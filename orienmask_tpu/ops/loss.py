@@ -96,9 +96,14 @@ class OrienMaskYOLOLoss:
         bh = jnp.exp(jax.lax.stop_gradient(pred_wh[..., 1])) * ganch[:, 1][None, :, None, None]
         pred_boxes = jnp.stack([bx, by, bw, bh], axis=-1).reshape(nb, -1, 4)
 
+        # Targets are constants w.r.t. params (reference detaches pred boxes);
+        # stop_gradient keeps AD from building a transpose of the painting scan.
         (bbox_pos_mask, bbox_neg_mask, bbox_pos_scale, txy, twh, tiou, tcls,
-         orien_pos_mask, orien_neg_mask, torien) = jax.vmap(self.target_builder)(
-            target["bbox"], target["cls"], target["mask"], target["valid"], pred_boxes
+         orien_pos_mask, orien_neg_mask, torien) = jax.lax.stop_gradient(
+            jax.vmap(self.target_builder)(
+                target["bbox"], target["cls"], target["mask"], target["valid"],
+                pred_boxes,
+            )
         )
 
         loss_xy = (bce_with_logits(xy_logit, txy) * bbox_pos_scale[..., None]).sum() / nb

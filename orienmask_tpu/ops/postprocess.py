@@ -200,7 +200,11 @@ class OrienMaskYOLOPostProcess:
     def __call__(self, predict):
         """Reference-compatible API: list (len B) of per-image dicts with arrays
         trimmed to the valid detection count (host numpy)."""
-        out = jax.device_get(self.apply_device(predict))
+        return self.to_host_list(self.apply_device(predict))
+
+    def to_host_list(self, device_out):
+        """Padded device output dict -> per-image trimmed numpy dicts."""
+        out = jax.device_get(device_out)
         masks = out["mask"]
         if self.pack_masks:
             from .maskops import unpack_bits_np

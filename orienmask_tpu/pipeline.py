@@ -1,0 +1,56 @@
+"""Fused inference pipeline: raw image -> instance masks in ONE XLA program.
+
+This is the BASELINE.json north-star path: device-side transform (bilinear resize
+to the network size + normalize), /32 pad, folded-BN bf16 forward, anchor decode,
+confidence top-k, greedy class NMS, and orientation-mask assembly all trace into a
+single jit per input shape (one compiled program per (H, W), cached — SURVEY.md
+§5.7 per-resolution program caching).  No host round-trips inside the loop; the
+only transfers are the uint8 input and the (optionally bit-packed) outputs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .models.layers import default_ctx
+
+
+class InferencePipeline:
+    def __init__(self, model, variables, transform, postprocess,
+                 compute_dtype="bfloat16"):
+        self.model = model
+        self.transform = transform  # FastCOCOTransform description
+        self.postprocess = postprocess
+        self.dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.folded = model.fold(variables)
+        self._fns = {}  # input (H, W) -> compiled fn
+        h, w = transform.size
+        # transform resizes (warps) to the exact network size; pad is a no-op
+        self.pad_info = (0, 0, 0, 0, h, w)
+
+    def _build(self, in_shape):
+        def run(folded, image_u8):
+            x = image_u8.astype(jnp.float32)
+            x = self.transform.apply(x)
+            ctx = default_ctx(train=False, dtype=self.dtype)
+            predict = self.model.apply_folded(folded, x, ctx)
+            return self.postprocess._run_batch(predict)
+
+        return jax.jit(run)
+
+    def _fn_for(self, shape):
+        key = tuple(shape)
+        if key not in self._fns:
+            self._fns[key] = self._build(key)
+        return self._fns[key]
+
+    def run_device(self, image):
+        """image: (B, H, W, 3) uint8/float (host or device) -> device output dict."""
+        fn = self._fn_for(image.shape)
+        return fn(self.folded, jnp.asarray(image))
+
+    def __call__(self, image):
+        """image: (B, H, W, 3) -> (list of per-image detection dicts, pad_info)."""
+        out = self.run_device(image)
+        return self.postprocess.to_host_list(out), self.pad_info

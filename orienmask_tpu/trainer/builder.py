@@ -1,0 +1,183 @@
+"""Config-driven component factory (reference trainer/builder.py).
+
+Same reflection pattern: a config dict's ``type`` key is looked up in the target
+module's namespace; remaining keys become constructor kwargs.  TPU-specific
+wiring replaces the CUDA/DDP bits: models produce param pytrees, the optimizer is
+functional SGD, data parallelism is a mesh handed to the Trainer.
+"""
+
+import copy
+import functools
+import random
+
+import jax
+import numpy as np
+
+from .. import data as data_module
+from .. import models as model_module
+from .. import optim as optim_module
+from ..eval import coco_eval  # noqa: F401  (registry completeness)
+from ..ops import loss as loss_module
+from ..ops import postprocess as postprocess_module
+from ..parallel.mesh import data_mesh
+from ..utils.envs import get_device_rank, get_world_size
+from .checkpoint import load_checkpoint
+from .tester import Tester
+from .trainer import Trainer
+
+
+def build(config, module, **kwargs):
+    cfg = copy.deepcopy(config)
+    cls = getattr(module, cfg.pop("type"))
+    return cls(**cfg, **kwargs)
+
+
+def build_func_partial(config, module, **kwargs):
+    cfg = copy.deepcopy(config)
+    fn = getattr(module, cfg.pop("type"))
+    return functools.partial(fn, **cfg, **kwargs)
+
+
+def build_model(config, ignore_pretrained=False, seed=0):
+    cfg = copy.deepcopy(config)
+    if ignore_pretrained:
+        cfg["pretrained"] = None
+    model = build(cfg, model_module)
+    variables = model.init_variables(jax.random.PRNGKey(seed))
+    return model, variables
+
+
+def build_postprocess(config, pack_masks=False):
+    cfg = copy.deepcopy(config)
+    return build(cfg, postprocess_module, pack_masks=pack_masks)
+
+
+def build_transform(config):
+    cfg = copy.deepcopy(config)
+    name = cfg.pop("type")
+    transform_class = getattr(data_module, name)
+    if name == "FastCOCOTransform":
+        return transform_class(**cfg)
+    pipeline_cfg = cfg.pop("pipeline")
+    pipeline = []
+    for item in pipeline_cfg:
+        item = dict(item)
+        op_cls = getattr(transform_class, item.pop("type"))
+        pipeline.append(op_cls(**item))
+    return transform_class(pipeline, **cfg)
+
+
+def build_dataloader(config, seed=0, rank=0, world_size=1):
+    cfg = copy.deepcopy(config)
+    dataset_cfg = cfg.pop("dataset")
+    transform = build_transform(cfg.pop("transform"))
+    dataset_cfg["transform"] = transform
+    dataset = build(dataset_cfg, data_module)
+    collate_cfg = cfg.pop("collate", {"type": "collate"})
+    collate_fn = build_func_partial(
+        collate_cfg, data_module,
+        max_instances=cfg.pop("max_instances", 100),
+        pack_masks=cfg.pop("pack_masks", False),
+    )
+    cfg.pop("pin_memory", None)
+    return data_module.DataLoader(
+        dataset, collate_fn=collate_fn, seed=seed, rank=rank,
+        world_size=world_size, **cfg,
+    )
+
+
+def _freeze_mask(model, params):
+    """Bool pytree (True = frozen) covering frozen backbone stages, or None."""
+    frozen = model.frozen_param_paths()
+    if not frozen:
+        return None
+    import jax.tree_util as jtu
+
+    frozen_stages = {stage for (_, stage) in frozen}
+    mask = jtu.tree_map(lambda _: False, params)
+    mask["backbone"] = {
+        stage: jtu.tree_map(lambda _: stage in frozen_stages, sub)
+        for stage, sub in params["backbone"].items()
+    }
+    return mask
+
+
+def build_optimizer(config, accumulate, model=None, params=None):
+    cfg = copy.deepcopy(config)
+    assert cfg.pop("type") == "SGD", "only SGD is shipped (reference parity)"
+    lr = cfg.pop("lr")
+    freeze_mask = _freeze_mask(model, params) if (model is not None and params is not None) else None
+    return optim_module.SGD(lr=lr, freeze_mask=freeze_mask, **cfg)
+
+
+def build_lr_scheduler(config, base_lr):
+    cfg = copy.deepcopy(config)
+    name = cfg.pop("type")
+    cls = getattr(optim_module, name)
+    return cls(base_lr=base_lr, **cfg)
+
+
+def _n_devices(config):
+    return config.get("n_device", config.get("n_gpu", 1))
+
+
+def build_trainer(config, resume=None, weights=None):
+    random.seed(config["seed"])
+    np.random.seed(config["seed"])
+
+    world_size = get_world_size()
+    rank = get_device_rank()
+    mesh = data_mesh()
+    n_local = len(mesh.devices.flatten())
+
+    train_loader = build_dataloader(
+        dict(_scaled_loader_cfg(config["train_loader"], n_local), drop_last=True),
+        seed=config["seed"], rank=rank, world_size=world_size,
+    )
+    val_loader = build_dataloader(
+        dict(_scaled_loader_cfg(config["val_loader"], n_local), pad_last=True),
+        seed=config["seed"], rank=rank, world_size=world_size,
+    )
+    postprocess = build_postprocess(config["postprocess"])
+    ignore_pretrained = bool(resume or weights)
+    model, variables = build_model(
+        config["model"], ignore_pretrained, seed=config["seed"]
+    )
+    loss = build(config["loss"], loss_module)
+    optimizer = build_optimizer(
+        config["optimizer"], config["accumulate"], model, variables["params"]
+    )
+    lr_scheduler = build_lr_scheduler(
+        config["lr_scheduler"], config["optimizer"]["lr"]
+    )
+    return Trainer(model, loss, optimizer, lr_scheduler, config,
+                   train_loader, val_loader, postprocess, mesh, variables,
+                   resume=resume, weights=weights)
+
+
+def _scaled_loader_cfg(loader_cfg, n_local_devices):
+    """Per-device batch size (reference: per-GPU) -> per-host global batch."""
+    cfg = copy.deepcopy(loader_cfg)
+    cfg["batch_size"] = cfg["batch_size"] * n_local_devices
+    return cfg
+
+
+def build_tester(config, checkpoint):
+    import os
+
+    test_config = copy.deepcopy(config)
+    model_cfg = copy.deepcopy(test_config["model"])
+    model_cfg["pretrained"] = None
+    model = build(model_cfg, model_module)
+    ckpt = load_checkpoint(checkpoint, model)
+    if "config" in ckpt and "model" in ckpt["config"]:
+        # rebuild the exact train-time model (reference builder.py:45-52)
+        model_cfg = copy.deepcopy(ckpt["config"]["model"])
+        model_cfg["pretrained"] = None
+        model = build(model_cfg, model_module)
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    test_loader = build_dataloader(dict(test_config["test_loader"], pad_last=True))
+    postprocess = build_postprocess(test_config["postprocess"])
+    checkpoint_dir = os.path.dirname(checkpoint) or "."
+    return Tester(model, variables, postprocess, test_loader, checkpoint_dir,
+                  test_config["gt_file"], test_config.get("compute_dtype", "float32"))

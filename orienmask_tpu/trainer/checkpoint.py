@@ -1,0 +1,86 @@
+"""Checkpoint save/restore (reference trainer/base.py:143-204 semantics).
+
+Full training state ``{epoch, params, batch_stats, opt_state, monitor_best,
+config}`` is serialized as a pickle of host numpy pytrees.  Cadence and naming
+mirror the reference: ``epochN.ckpt`` every ``save_freq`` epochs,
+``best_epochN.ckpt`` + ``best_model.ckpt`` symlink on monitor improvement (stale
+best deleted), ``temp.ckpt`` on non-val epochs.  The embedded config is
+load-bearing: test/infer rebuild the exact model from it.
+
+Also loads reference ``.pth`` checkpoints transparently (torch format -> converted
+weights), so published OrienMask weights drop in without retraining.
+"""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, state):
+    with open(path, "wb") as fh:
+        pickle.dump(_to_host(state), fh, protocol=4)
+
+
+def load_checkpoint(path, model=None):
+    """Load a .ckpt (ours) or .pth (reference torch) checkpoint.
+
+    For ``.pth`` files ``model`` must be given; returns a state dict with only
+    ``params``/``batch_stats`` (+config if embedded).
+    """
+    if path.endswith(".pth"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        from ..models.convert import torch_to_variables
+
+        sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+        variables = torch_to_variables(model, sd)
+        state = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        if isinstance(ckpt, dict) and "config" in ckpt:
+            state["config"] = ckpt["config"]
+            state["epoch"] = ckpt.get("epoch", 0)
+        return state
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+class CheckpointManager:
+    def __init__(self, checkpoint_dir, save_freq, logger=None):
+        self.dir = checkpoint_dir
+        self.save_freq = save_freq
+        self.logger = logger
+
+    def _log(self, msg):
+        if self.logger:
+            self.logger.info(msg)
+
+    def save(self, epoch, state, save_best=False, temp=False):
+        if not (epoch % self.save_freq == 0 or save_best or temp):
+            return
+        state = _to_host(state)
+        if epoch % self.save_freq == 0:
+            path = os.path.join(self.dir, f"epoch{epoch}.ckpt")
+            save_checkpoint(path, state)
+            self._log(f"Saving checkpoint at {path}")
+        if save_best:
+            rel = f"best_epoch{epoch}.ckpt"
+            path = os.path.join(self.dir, rel)
+            save_checkpoint(path, state)
+            link = os.path.join(self.dir, "best_model.ckpt")
+            if os.path.islink(link):
+                stale = os.path.join(self.dir, os.readlink(link))
+                if os.path.exists(stale):
+                    os.remove(stale)
+                os.remove(link)
+            os.symlink(rel, link)
+            self._log(f"Saving current best at {path}")
+        if temp:
+            path = os.path.join(self.dir, "temp.ckpt")
+            save_checkpoint(path, state)
+            self._log(f"Saving temp checkpoint at {path}")

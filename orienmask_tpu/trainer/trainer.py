@@ -1,0 +1,245 @@
+"""Training / validation run loops (reference trainer/trainer.py).
+
+Host loop responsibilities only: feed sharded batches, evaluate the LR schedule,
+collect device-scalar logs asynchronously (fetched every ``writer_freq`` steps to
+keep the dispatch pipeline full), NaN abort, tensorboard, COCO validation.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+from tqdm import tqdm
+
+from ..eval.coco_eval import COCOMetrics
+from ..eval.counter import EvalCounter
+from ..parallel.mesh import shard_batch
+from .base import BaseTrainer
+from .train_state import make_eval_step, make_train_step
+
+
+class Trainer(BaseTrainer):
+    def __init__(self, model, loss, optimizer, lr_scheduler, config,
+                 train_loader, val_loader, postprocess, mesh,
+                 variables, resume=None, weights=None):
+        super().__init__(config, resume, weights)
+        self.model = model
+        self.loss = loss
+        self.optimizer = optimizer
+        self.lr_scheduler = lr_scheduler
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.postprocess = postprocess
+        self.mesh = mesh
+
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+        image_w = config["loss"]["image_size"][1]
+        self.train_step, init_state = make_train_step(
+            model, loss, optimizer, mesh, image_w,
+            accumulate=self.accumulate, compute_dtype=dtype,
+        )
+        self.eval_step = make_eval_step(model, loss, mesh, image_w, dtype)
+        self.state = init_state(variables)
+
+        self.coco_metrics = None
+        if val_loader is not None and config.get("val_gt_file"):
+            self.coco_metrics = COCOMetrics(
+                gt_file=config["val_gt_file"],
+                cat2label=val_loader.dataset.CAT2LABEL,
+                with_mask=getattr(val_loader.dataset, "with_mask", True),
+                save_dir=self.checkpoint_dir,
+            )
+        self._restore_if_needed()
+
+    # ------------------------------------------------------------- state mgmt
+
+    def _checkpoint_state(self, epoch):
+        return {
+            "epoch": epoch,
+            "params": self.state["params"],
+            "batch_stats": self.state["batch_stats"],
+            "opt_state": self.state["opt_state"],
+            "monitor_best": self.monitor_best,
+            "config": self.config,
+        }
+
+    def _load_state(self, ckpt, strict):
+        from ..parallel.mesh import replicate_sharding
+
+        repl = replicate_sharding(self.mesh)
+        new_state = dict(self.state)
+        new_state["params"] = jax.device_put(ckpt["params"], repl)
+        new_state["batch_stats"] = jax.device_put(ckpt["batch_stats"], repl)
+        if strict and "opt_state" in ckpt:
+            new_state["opt_state"] = jax.device_put(ckpt["opt_state"], repl)
+        self.state = new_state
+
+    # ------------------------------------------------------------ train epoch
+
+    def _train_epoch(self, epoch):
+        self.logger.info("Train on epoch %d" % epoch)
+        self.train_loader.set_epoch(epoch)
+
+        counter = EvalCounter()
+        n_iter = len(self.train_loader)
+        iterator = enumerate(self.train_loader, 1)
+        if self.device_rank == 0:
+            iterator = tqdm(iterator, total=n_iter,
+                            postfix={"lr": "-1.00e0", "loss": "-1.0000"})
+
+        pending = []  # (step, device loss_log) awaiting host fetch
+
+        def drain():
+            for step_idx, log in pending:
+                host = {k: float(v) for k, v in jax.device_get(log).items()}
+                if not np.isfinite(host["loss"]):
+                    self.logger.error(
+                        "Error: nan or inf found. Training stops at epoch "
+                        f"{epoch} batch {step_idx}.")
+                    for k, v in host.items():
+                        self.logger.error(f"{k}: {v}")
+                    sys.exit(1)
+                counter.update("loss", host.pop("loss"))
+                for k, v in host.items():
+                    counter.update(k, v)
+            pending.clear()
+
+        for batch_idx, batch in iterator:
+            step = (epoch - 1) * n_iter + batch_idx
+            actual_step = step // self.accumulate
+            lr = self.lr_scheduler(actual_step)
+            do_step = (batch_idx % self.accumulate == 0) or (batch_idx == n_iter)
+            sharded = shard_batch(batch, self.mesh)
+            sharded.pop("info", None)
+            self.state, loss_log = self.train_step(self.state, sharded, lr, do_step)
+            pending.append((batch_idx, loss_log))
+
+            if step % self.writer_freq == 0:
+                drain()
+                if self.device_rank == 0:
+                    if self.tensorboard is not None:
+                        self.tensorboard.add_scalar("lr", lr, actual_step)
+                        self.tensorboard.add_scalar(
+                            "train/loss", counter.average("loss"), actual_step)
+                        for key in self.loss.loss_id:
+                            self.tensorboard.add_scalar(
+                                f"train/{key}", counter.average(key), actual_step)
+                    if hasattr(iterator, "set_postfix"):
+                        iterator.set_postfix({
+                            "lr": "%.2e" % lr,
+                            "loss": "%.4f" % counter.average("loss"),
+                        })
+                counter.reset()
+
+            if hasattr(self.lr_scheduler, "max_iter") and \
+                    step == getattr(self.lr_scheduler, "max_iter", None):
+                drain()
+                if self.device_rank == 0:
+                    from .checkpoint import save_checkpoint
+
+                    path = os.path.join(self.checkpoint_dir, f"batch_{step}.ckpt")
+                    save_checkpoint(path, self._checkpoint_state(epoch))
+                    self.logger.info(f"Saving checkpoint at {path}")
+                sys.exit(0)
+
+        drain()
+        train_log = {}
+        if self.device_rank == 0:
+            train_log["train_loss"] = counter.average_epoch("loss")
+            for key in self.loss.loss_id:
+                train_log[f"train_{key}"] = counter.average_epoch(key)
+        counter.reset_epoch()
+
+        if self.val_loader is not None and epoch % self.val_freq == 0:
+            train_log.update(self._val_epoch(epoch))
+        return train_log
+
+    # -------------------------------------------------------------- val epoch
+
+    def _val_epoch(self, epoch):
+        self.logger.info("Validate after epoch %d" % epoch)
+        if self.coco_metrics is not None:
+            self.coco_metrics.reset()
+        counter = EvalCounter()
+        n_iter = len(self.val_loader)
+        iterator = enumerate(self.val_loader, 1)
+        if self.device_rank == 0:
+            iterator = tqdm(iterator, total=n_iter)
+
+        for batch_idx, batch in iterator:
+            info = batch.get("info")
+            sharded = shard_batch(batch, self.mesh)
+            sharded.pop("info", None)
+            out, loss_log, metric_log = self.eval_step(
+                self.state["params"], self.state["batch_stats"], sharded
+            )
+            host_loss = {k: float(v) for k, v in jax.device_get(loss_log).items()}
+            counter.update("loss", host_loss.pop("loss"))
+            for k, v in host_loss.items():
+                counter.update(k, v)
+            for k, v in jax.device_get(metric_log).items():
+                counter.update(k, (float(v[0]), float(v[1])))
+            if self.coco_metrics is not None and info is not None:
+                detections = self.postprocess(out)
+                dets = self.coco_metrics.to_coco_format(info, detections)
+                self.coco_metrics.update_results(dets)
+
+        val_log = {}
+        if self.device_rank == 0:
+            coco_log = self.coco_metrics.coco_eval() if self.coco_metrics else {}
+            if self.tensorboard is not None:
+                self.tensorboard.add_scalar("val/loss", counter.average("loss"), epoch)
+                for key in self.loss.loss_id:
+                    self.tensorboard.add_scalar(
+                        f"val/{key}", counter.average(key), epoch)
+                for key, value in coco_log.items():
+                    self.tensorboard.add_scalar(f"val/{key}", value, epoch)
+            val_log["val_loss"] = counter.average_epoch("loss")
+            for key in self.loss.loss_id:
+                val_log[f"val_{key}"] = counter.average_epoch(key)
+            for key in self.loss.metric_id:
+                val_log[f"val_{key}"] = counter.average_epoch(key)
+            for key, value in coco_log.items():
+                val_log[f"val_{key}"] = value
+        counter.reset_epoch()
+        return val_log
+
+    # ---------------------------------------------------------------- logging
+
+    def _log_result(self, result):
+        from tabulate import tabulate
+
+        rows = []
+        for loss_id in self.loss.loss_suffix:
+            key = "train_{}_" + loss_id
+            row = [loss_id]
+            for scale_id in self.loss.scales_prefix:
+                row.append(result.get(key.format(scale_id), ""))
+            row.append(result.get(key.format("cross_scale"), ""))
+            rows.append(row)
+        table = tabulate(rows, headers=["TRAIN", *self.loss.scales_prefix, "ALL"],
+                         floatfmt=".3f", tablefmt="pipe")
+        self.logger.info("\n" + table)
+
+        first_val = "val_{}_{}".format(self.loss.scales_prefix[0], self.loss.loss_suffix[0])
+        if first_val in result:
+            rows = []
+            for item in list(self.loss.loss_suffix) + list(self.loss.metric_suffix):
+                key = "val_{}_" + item
+                row = [item]
+                for scale_id in self.loss.scales_prefix:
+                    row.append(result.get(key.format(scale_id), ""))
+                row.append(result.get(key.format("cross_scale"), ""))
+                rows.append(row)
+            table = tabulate(rows, headers=["VAL", *self.loss.scales_prefix, "ALL"],
+                             floatfmt=".3f", tablefmt="pipe")
+            self.logger.info("\n" + table)
+            if self.coco_metrics is not None and len(self.coco_metrics.bbox_eval_stats):
+                self.logger.info("BBOX " + " ".join(
+                    "%.3f" % k for k in self.coco_metrics.bbox_eval_stats))
+                if self.coco_metrics.with_mask:
+                    self.logger.info("SEGM " + " ".join(
+                        "%.3f" % k for k in self.coco_metrics.segm_eval_stats))

@@ -17,3 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# This box has a single CPU core: XLA compiles of the full model take minutes.
+# A persistent compilation cache makes reruns cheap.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

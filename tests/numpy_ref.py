@@ -130,3 +130,113 @@ def reference_postprocess(predict_np, grid_hw, image_hw, anchors, anchor_mask,
         "cls": fcls,
         "mask": masks,
     }
+
+
+def reference_build_targets(gt_bbox, gt_cls, gt_mask, pred_boxes, grid_hw, image_hw,
+                            anchors, anchor_mask, num_classes, center_region=0.6,
+                            valid_region=0.6, label_smooth=0.0, ignore_thresh=0.5):
+    """Sequential per-instance oracle for one sample (dynamic-count GT arrays).
+
+    gt_bbox: (n, 4) normalized cxcywh; gt_mask: (n, H, W) {0,1}; pred_boxes:
+    (A*nH*nW, 4) grid units.  Mirrors eval/orienmask_yolo_loss.py:156-286 semantics.
+    """
+    nH, nW = grid_hw
+    H, W = image_hw
+    mask_ids = list(anchor_mask)
+    nA = len(mask_ids)
+    anchors = np.asarray(anchors, np.float64)
+    scale_wh = np.array([W / nW, H / nH])
+    grid_all_anchors = anchors / np.array([W, H]) * np.array([nW, nH])
+    grid_anchors = grid_all_anchors[mask_ids]
+    pixel_anchors = anchors[mask_ids]
+
+    pos_mask = np.zeros((nA, nH, nW))
+    neg_mask = np.ones((nA, nH, nW))
+    pos_scale = np.zeros((nA, nH, nW))
+    txy = np.zeros((nA, nH, nW, 2))
+    twh = np.zeros((nA, nH, nW, 2))
+    tiou = np.zeros((nA, nH, nW))
+    tcls = np.full((nA, nH, nW, num_classes), label_smooth)
+    orien_mask = np.zeros((nA, H, W), np.int64)
+    torien = np.zeros((nA, H, W, 2))
+
+    g = gt_bbox * np.array([nW, nH, nW, nH])
+    n = len(g)
+    if n:
+        # ignore via pred-gt IoU
+        from numpy_ref import _np_bbox_ious
+        iou_pg = _np_bbox_ious(pred_boxes, g)
+        ignore = (iou_pg > ignore_thresh).any(1)
+        neg_mask.reshape(-1)[ignore] = 0
+
+        inter = np.minimum(g[:, None, 2], grid_all_anchors[None, :, 0]) * \
+            np.minimum(g[:, None, 3], grid_all_anchors[None, :, 1])
+        union = g[:, 2:3] * g[:, 3:4] + grid_all_anchors[:, 0] * grid_all_anchors[:, 1] - inter
+        aiou = inter / union
+        match_index = aiou.argmax(1)
+
+        mesh_y, mesh_x = np.meshgrid(np.arange(H, dtype=np.float64),
+                                     np.arange(W, dtype=np.float64), indexing="ij")
+        mesh_xy = np.stack([mesh_x, mesh_y], -1)
+
+        for k in range(n):
+            if match_index[k] not in mask_ids:
+                continue
+            a = mask_ids.index(match_index[k])
+            gx = int(np.clip(np.floor(g[k, 0]), 0, nW - 1))
+            gy = int(np.clip(np.floor(g[k, 1]), 0, nH - 1))
+            pos_mask[a, gy, gx] = 1
+            neg_mask[a, gy, gx] = 0
+            pos_scale[a, gy, gx] = 2 - g[k, 2] * g[k, 3] / (nW * nH)
+            txy[a, gy, gx] = g[k, 0:2] - np.floor(g[k, 0:2])
+            twh[a, gy, gx] = np.log(g[k, 2:4] / grid_anchors[a])
+            tcls[a, gy, gx, int(gt_cls[k])] = 1 - label_smooth
+            cell = (a * nH + gy) * nW + gx
+            tiou[a, gy, gx] = iou_pg[cell, k]
+
+            # orientation painting
+            px, py = g[k, 0] * scale_wh[0], g[k, 1] * scale_wh[1]
+            vw = (g[k, 2] * valid_region + 0.5) * scale_wh[0]
+            vh = (g[k, 3] * valid_region + 0.5) * scale_wh[1]
+            cwh = np.array([vw, vh]) / valid_region * center_region
+            x1 = np.round(np.clip(px - vw, 0, W - 1))
+            x2 = np.round(np.clip(px + vw, 0, W - 1)) + 1
+            y1 = np.round(np.clip(py - vh, 0, H - 1))
+            y2 = np.round(np.clip(py + vh, 0, H - 1)) + 1
+            roi = (mesh_x >= x1) & (mesh_x < x2) & (mesh_y >= y1) & (mesh_y < y2)
+            offset = mesh_xy - np.array([px, py])
+
+            om = orien_mask[a].copy()
+            to = torien[a].copy()
+            is_inst = roi & (gt_mask[k] > 0)
+            om[is_inst] = -1
+            to = np.where(is_inst[..., None], offset, to)
+            not_inst = roi & (gt_mask[k] == 0) & (om >= 0)
+            om += not_inst.astype(np.int64)
+            offlen = np.maximum(np.abs(offset), 1e-8)
+            sneg = np.clip(cwh / offlen, 1, None).min(-1) - 1
+            negoff = sneg[..., None] * np.sign(offset) * offlen
+            to = np.where(not_inst[..., None], to + negoff, to)
+            orien_mask[a] = om
+            torien[a] = to
+
+    orien_pos = (orien_mask < 0).astype(np.float64)
+    orien_neg = (orien_mask > 0).astype(np.float64)
+    torien = torien / (pixel_anchors[:, None, None, :] / 2)
+    denom = np.where(orien_mask == 0, 1000, orien_mask)
+    torien = torien / denom[..., None]
+
+    return (pos_mask, neg_mask, pos_scale, txy, twh, tiou, tcls,
+            orien_pos, orien_neg, torien)
+
+
+def _np_bbox_ious(b1, b2):
+    b1lo = b1[:, None, 0:2] - b1[:, None, 2:4] / 2
+    b1hi = b1[:, None, 0:2] + b1[:, None, 2:4] / 2
+    b2lo = b2[None, :, 0:2] - b2[None, :, 2:4] / 2
+    b2hi = b2[None, :, 0:2] + b2[None, :, 2:4] / 2
+    d = np.clip(np.minimum(b1hi, b2hi) - np.maximum(b1lo, b2lo), 0, None)
+    inter = d[..., 0] * d[..., 1]
+    a1 = (b1[:, 2] * b1[:, 3])[:, None]
+    a2 = (b2[:, 2] * b2[:, 3])[None, :]
+    return inter / (a1 + a2 - inter)

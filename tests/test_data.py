@@ -1,0 +1,131 @@
+"""Data pipeline: synthetic mini-COCO dataset -> transforms -> collate -> loader."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from orienmask_tpu.data import COCODataset, COCOTransform, DataLoader, collate
+from orienmask_tpu.eval import rle
+
+
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    """8 synthetic images with 0-4 rectangle instances each."""
+    root = tmp_path_factory.mktemp("minicoco")
+    img_dir = root / "images"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    annos = {}
+    names = []
+    for i in range(8):
+        h, w = int(rng.integers(80, 200)), int(rng.integers(80, 200))
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        name = f"img{i:03d}.jpg"
+        cv2.imwrite(str(img_dir / name), img)
+        n = int(rng.integers(0, 5))
+        bboxes, clses, masks = [], [], []
+        for _ in range(n):
+            bw, bh = rng.uniform(0.2, 0.5), rng.uniform(0.2, 0.5)
+            cx, cy = rng.uniform(bw / 2, 1 - bw / 2), rng.uniform(bh / 2, 1 - bh / 2)
+            bboxes.append([cx, cy, bw, bh])
+            clses.append(int(rng.integers(0, 80)))
+            m = np.zeros((h, w), np.uint8)
+            x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
+            x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
+            m[y1:y2, x1:x2] = 1
+            masks.append(rle.encode(m))
+        annos[name] = {"anno": {"bbox": bboxes, "cls": clses, "mask": masks},
+                       "image_id": i}
+        names.append(name)
+    anno_file = root / "annos.json"
+    with open(anno_file, "w") as fh:
+        json.dump(annos, fh)
+    list_file = root / "list.txt"
+    list_file.write_text("\n".join(names))
+    return str(list_file), str(img_dir), str(anno_file)
+
+
+def _train_transform():
+    return COCOTransform([
+        COCOTransform.ColorJitter(brightness=0.2, contrast=0.5, saturation=0.5, hue=0.1),
+        COCOTransform.RandomCrop(p=0.5),
+        COCOTransform.Resize((96, 96), pad_needed=True, warp_p=0.25, jitter=0.3,
+                             random_place=True, pad_p=0.75, pad_ratio=0.75,
+                             pad_value=(123.675, 116.28, 103.53)),
+        COCOTransform.RandomHorizontalFlip(p=0.5),
+        COCOTransform.ToArray(),
+        COCOTransform.Normalize((0, 0, 0), (255, 255, 255)),
+    ])
+
+
+def test_dataset_and_collate(mini_coco):
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform(),
+                     with_mask=True, with_info=True)
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["image"].shape == (96, 96, 3)
+    assert s["image"].dtype == np.float32
+    assert s["bbox"].shape[1] == 4 if s["bbox"].size else True
+    if s["bbox"].shape[0]:
+        assert s["mask"].shape == (s["bbox"].shape[0], 96, 96)
+        assert 0 <= s["bbox"].min() and s["bbox"].max() <= 1.0 + 1e-6
+
+    batch = collate([ds[i] for i in range(4)], max_instances=10)
+    assert batch["image"].shape == (4, 96, 96, 3)
+    assert batch["bbox"].shape == (4, 10, 4)
+    assert batch["mask"].shape == (4, 10, 96, 96)
+    assert batch["valid"].sum() >= 0
+    assert len(batch["info"]) == 4
+
+
+def test_collate_packed_masks(mini_coco):
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    batch = collate([ds[0], ds[1]], max_instances=8, pack_masks=True)
+    assert batch["mask"].shape == (2, 8, 96, 12)  # 96/8 = 12 bytes
+    unpacked = np.unpackbits(batch["mask"], axis=-1)[..., :96].astype(bool)
+    plain = collate([ds2 for ds2 in [ds[0], ds[1]]], max_instances=8)["mask"]
+    # NOTE: random transforms re-run -> compare only shapes/dtype here
+    assert unpacked.shape == plain.shape
+
+
+def test_dataloader_inline_and_workers(mini_coco):
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    from functools import partial
+    cfn = partial(collate, max_instances=10)
+
+    dl0 = DataLoader(ds, batch_size=4, shuffle=True, num_workers=0, collate_fn=cfn, seed=1)
+    batches0 = list(dl0)
+    assert len(batches0) == 2
+    assert batches0[0]["image"].shape == (4, 96, 96, 3)
+
+    dl2 = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, collate_fn=cfn, seed=1)
+    batches2 = list(dl2)
+    dl2.shutdown()
+    assert len(batches2) == 2
+    # same seed + epoch -> same sample order and identical augmented batches
+    np.testing.assert_allclose(batches0[0]["image"], batches2[0]["image"], atol=1e-6)
+    np.testing.assert_allclose(batches0[0]["bbox"], batches2[0]["bbox"], atol=1e-6)
+
+
+def test_dataloader_sharding(mini_coco):
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    from functools import partial
+    cfn = partial(collate, max_instances=10)
+    dl_a = DataLoader(ds, batch_size=2, shuffle=False, rank=0, world_size=2, collate_fn=cfn)
+    dl_b = DataLoader(ds, batch_size=2, shuffle=False, rank=1, world_size=2, collate_fn=cfn)
+    assert len(dl_a) == len(dl_b) == 2
+    ids_a = {i["id"] for b in dl_a for i in b["info"]} if False else None
+    # epoch reshuffle changes order
+    dl = DataLoader(ds, batch_size=8, shuffle=True, collate_fn=cfn, seed=3)
+    dl.set_epoch(0)
+    b0 = next(iter(dl))
+    dl.set_epoch(1)
+    b1 = next(iter(dl))
+    assert [i["id"] for i in b0["info"]] != [i["id"] for i in b1["info"]]

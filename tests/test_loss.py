@@ -1,0 +1,109 @@
+"""Multi-scale loss vs a numpy re-computation using the oracle targets."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from orienmask_tpu.ops.loss import OrienMaskYOLOMultiScaleLoss
+
+from numpy_ref import np_bilinear_up4, reference_build_targets, sigmoid
+from test_targets import ANCHORS, GRID, IMAGE, MASKS, NUM_CLASSES, N_MAX, _pad_gt, _random_gt
+
+GRIDS = [(8, 8), (8, 8), (8, 8)]  # same grid per scale for this small geometry
+
+
+def _np_bce(p, t):
+    p = np.clip(p, 1e-12, 1 - 1e-12)
+    return -(t * np.log(p) + (1 - t) * np.log(1 - p))
+
+
+def _np_smooth_l1(x, t):
+    d = np.abs(x - t)
+    return np.where(d < 1, 0.5 * d * d, d - 0.5)
+
+
+def _np_scale_loss(pred_bbox, pred_orien, targets, nb=1):
+    (pos, neg, pos_scale, txy, twh, tiou, tcls, opos, oneg, torien) = targets
+    nA = 3
+    nH, nW = GRID
+    pb = pred_bbox.reshape(nH, nW, nA, 5 + NUM_CLASSES).transpose(2, 0, 1, 3)[None]
+    po = np_bilinear_up4(pred_orien)  # (H, W, A*2)
+    po = po.reshape(*IMAGE, nA, 2).transpose(2, 0, 1, 3)[None]
+
+    pxy = sigmoid(pb[..., 0:2])
+    pwh = pb[..., 2:4]
+    pobj = sigmoid(pb[..., 4])
+    pcls = sigmoid(pb[..., 5:])
+
+    loss_xy = (_np_bce(pxy, txy[None]) * pos_scale[None, ..., None]).sum() / nb
+    loss_wh = ((pwh - twh[None]) ** 2 * pos_scale[None, ..., None]).sum() / 2 / nb
+    obj_all = _np_bce(pobj, pos[None])
+    loss_obj = (obj_all * pos[None]).sum() / nb
+    loss_noobj = (obj_all * neg[None]).sum() / nb
+    loss_cls = (_np_bce(pcls, tcls[None]) * pos[None][..., None]).sum() / nb
+    n_op, n_on = opos.sum(), oneg.sum()
+    o_all = _np_smooth_l1(po, torien[None])
+    loss_op = (o_all * opos[None][..., None]).sum() / n_op * pos.sum() / nb if n_op > 0 else 0.0
+    loss_on = (o_all * oneg[None][..., None]).sum() / n_on * pos.sum() / nb if n_on > 0 else 0.0
+    return np.array([loss_xy, loss_wh, loss_obj, loss_noobj, loss_cls, loss_op, loss_on])
+
+
+def test_multiscale_loss_matches_numpy():
+    rng = np.random.default_rng(0)
+    bbox, cls, masks = _random_gt(rng, 6)
+    pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+    target = {
+        "bbox": jnp.asarray(pb)[None],
+        "cls": jnp.asarray(pc)[None],
+        "mask": jnp.asarray(pm)[None],
+        "valid": jnp.asarray(pv)[None],
+    }
+
+    weight = [1, 1, 1, 1, 1, 20, 20]
+    loss = OrienMaskYOLOMultiScaleLoss(
+        grid_size=[list(g) for g in GRIDS], image_size=list(IMAGE), anchors=ANCHORS,
+        anchor_mask=MASKS, num_classes=NUM_CLASSES, center_region=0.6,
+        valid_region=0.6, label_smooth=False, obj_ignore_threshold=0.6,
+        weight=weight, scales_weight=[1, 1, 1], target_chunk=4,
+    )
+
+    predict, predict_np = [], []
+    for s in range(3):
+        nh, nw = GRIDS[s]
+        b = rng.standard_normal((nh, nw, 3 * (5 + NUM_CLASSES))).astype(np.float32)
+        o = rng.standard_normal((IMAGE[0] // 4, IMAGE[1] // 4, 6)).astype(np.float32)
+        predict.append((jnp.asarray(b)[None], jnp.asarray(o)[None]))
+        predict_np.append((b.astype(np.float64), o.astype(np.float64)))
+
+    loss_sum, loss_log, metric_log = loss(predict, target, training=False)
+
+    # numpy recomputation per scale
+    expected_sum = 0.0
+    for s in range(3):
+        nA = 3
+        nH, nW = GRIDS[s]
+        pbx = predict_np[s][0].reshape(nH, nW, nA, 5 + NUM_CLASSES).transpose(2, 0, 1, 3)
+        gx, gy = np.meshgrid(np.arange(nW), np.arange(nH))
+        grid_all = np.asarray(ANCHORS, np.float64) / np.array([IMAGE[1], IMAGE[0]]) * np.array([nW, nH])
+        pxy = sigmoid(pbx[..., 0:2])
+        pwh = np.exp(pbx[..., 2:4]) * grid_all[MASKS[s]][:, None, None, :]
+        pred_boxes = np.concatenate([
+            pxy + np.stack([gx, gy], -1)[None], pwh], -1).reshape(-1, 4)
+        targets = reference_build_targets(
+            bbox.astype(np.float64), cls, masks.astype(np.float64), pred_boxes,
+            GRIDS[s], IMAGE, ANCHORS, MASKS[s], NUM_CLASSES,
+            center_region=0.6, valid_region=0.6, ignore_thresh=0.6,
+        )
+        items = _np_scale_loss(*predict_np[s], targets)
+        expected_sum += (items * np.asarray(weight, np.float64)).sum()
+        got_items = np.array([
+            float(loss_log[f"S{['32','16','08'][s]}_{k}"]) for k in (
+                "loss_xy", "loss_wh", "loss_obj", "loss_noobj", "loss_cls",
+                "loss_orien_pos", "loss_orien_neg")
+        ])
+        np.testing.assert_allclose(got_items, items * np.asarray(weight), rtol=2e-3, atol=1e-4)
+
+    np.testing.assert_allclose(float(loss_sum), expected_sum, rtol=2e-3)
+    # metrics exist and are finite (sum, count) pairs
+    v = metric_log["cross_scale_avg_iou"]
+    assert np.isfinite(float(v[0])) and float(v[1]) > 0

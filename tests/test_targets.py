@@ -1,0 +1,98 @@
+"""TargetBuilder (chunked-scan, static shapes) vs the sequential numpy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orienmask_tpu.ops.targets import TargetBuilder
+
+from numpy_ref import reference_build_targets
+
+IMAGE = (64, 64)
+GRID = (8, 8)
+ANCHORS = [
+    [4, 6], [8, 10], [12, 8],
+    [10, 20], [20, 16], [18, 36],
+    [36, 28], [48, 60], [60, 50],
+]
+MASKS = [[6, 7, 8], [3, 4, 5], [0, 1, 2]]
+NUM_CLASSES = 5
+N_MAX = 16
+
+
+def _random_gt(rng, n_inst):
+    """Random normalized boxes with blobby instance masks inside them."""
+    h, w = IMAGE
+    bbox, cls, masks = [], [], []
+    for _ in range(n_inst):
+        bw = rng.uniform(0.1, 0.7)
+        bh = rng.uniform(0.1, 0.7)
+        cx = rng.uniform(bw / 2, 1 - bw / 2)
+        cy = rng.uniform(bh / 2, 1 - bh / 2)
+        bbox.append([cx, cy, bw, bh])
+        cls.append(rng.integers(0, NUM_CLASSES))
+        ys, xs = np.mgrid[0:h, 0:w]
+        ell = ((xs / w - cx) / (bw / 2)) ** 2 + ((ys / h - cy) / (bh / 2)) ** 2 <= rng.uniform(0.5, 1.2)
+        masks.append(ell)
+    return (np.array(bbox, np.float32).reshape(-1, 4),
+            np.array(cls, np.int64),
+            np.array(masks, bool).reshape(-1, h, w))
+
+
+def _pad_gt(bbox, cls, masks):
+    n = len(bbox)
+    pb = np.zeros((N_MAX, 4), np.float32)
+    pc = np.zeros((N_MAX,), np.int32)
+    pm = np.zeros((N_MAX, *IMAGE), bool)
+    pv = np.zeros((N_MAX,), bool)
+    pb[:n], pc[:n], pm[:n], pv[:n] = bbox, cls, masks, True
+    return pb, pc, pm, pv
+
+
+@pytest.mark.parametrize("seed,n_inst", [(0, 4), (1, 9), (2, 1), (3, 0), (4, 13)])
+@pytest.mark.parametrize("scale", [0, 1, 2])
+@pytest.mark.parametrize("chunk", [4])
+def test_targets_match_oracle(seed, n_inst, scale, chunk):
+    rng = np.random.default_rng(seed)
+    bbox, cls, masks = _random_gt(rng, n_inst)
+    npred = 3 * GRID[0] * GRID[1]
+    pred_boxes = np.stack([
+        rng.uniform(0, GRID[1], npred), rng.uniform(0, GRID[0], npred),
+        rng.uniform(0.3, 4.0, npred), rng.uniform(0.3, 4.0, npred),
+    ], axis=1).astype(np.float32)
+
+    builder = TargetBuilder(
+        GRID, IMAGE, ANCHORS, MASKS[scale], NUM_CLASSES,
+        center_region=0.6, valid_region=0.6, label_smooth=False,
+        obj_ignore_threshold=0.6, chunk=chunk,
+    )
+    pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+    got = builder(jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(pm),
+                  jnp.asarray(pv), jnp.asarray(pred_boxes))
+
+    ref = reference_build_targets(
+        bbox.astype(np.float64), cls, masks.astype(np.float64),
+        pred_boxes.astype(np.float64), GRID, IMAGE, ANCHORS, MASKS[scale],
+        NUM_CLASSES, center_region=0.6, valid_region=0.6, label_smooth=0.0,
+        ignore_thresh=0.6,
+    )
+
+    names = ["pos_mask", "neg_mask", "pos_scale", "txy", "twh", "tiou", "tcls",
+             "orien_pos", "orien_neg", "torien"]
+    for name, g, r in zip(names, got, ref):
+        g = np.asarray(g, np.float64)
+        assert g.shape == r.shape, (name, g.shape, r.shape)
+        np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_targets_empty_sample():
+    builder = TargetBuilder(GRID, IMAGE, ANCHORS, MASKS[0], NUM_CLASSES, chunk=4)
+    pb = np.zeros((N_MAX, 4), np.float32)
+    pv = np.zeros((N_MAX,), bool)
+    pred = np.ones((3 * 64, 4), np.float32)
+    out = builder(jnp.asarray(pb), jnp.zeros(N_MAX, jnp.int32),
+                  jnp.zeros((N_MAX, *IMAGE), bool), jnp.asarray(pv), jnp.asarray(pred))
+    assert float(np.asarray(out[0]).sum()) == 0  # no positives
+    assert float(np.asarray(out[1]).min()) == 1  # all negative
+    assert float(np.abs(np.asarray(out[9])).sum()) == 0  # no orientation targets
