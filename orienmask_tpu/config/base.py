@@ -216,6 +216,21 @@ orienmask_yolo_coco_544_anchor4_postprocess = construct_config(
     orienmask_yolo_coco_544_postprocess, update=dict(anchors=ANCHORS_YOLOV4)
 )
 
+# 736x736 streaming/video variant (second compiled static-shape program;
+# BASELINE.json stretch config)
+transform_infer_736 = construct_config(
+    transform_infer_544,
+    update=dict(pipeline=[
+        dict(type="Resize", size=(736, 736), interpolation="bilinear", align_corners=False),
+        dict(type="Normalize", mean=(0, 0, 0), std=(255, 255, 255)),
+    ]),
+)
+
+orienmask_yolo_coco_736_anchor4_postprocess = construct_config(
+    orienmask_yolo_coco_544_anchor4_postprocess,
+    update=dict(grid_size=[[23, 23], [46, 46], [92, 92]], image_size=[736, 736]),
+)
+
 
 # --------------------------------------------------------------------------------------
 # optimizer / LR schedule blocks (reference config/base.py:240-256)

@@ -256,3 +256,143 @@ def bilinear_resize(x, out_h, out_w, align_corners=False):
     x = jnp.einsum("Hh,bhwc->bHwc", mh, x, preferred_element_type=jnp.float32)
     x = jnp.einsum("Ww,bhwc->bhWc", mw, x, preferred_element_type=jnp.float32)
     return x
+
+
+class Upsample(Module):
+    """Bilinear (or nearest) x``scale`` upsample module (reference model/base.py:83-92)."""
+
+    def __init__(self, scale_factor, mode="bilinear", align_corners=False):
+        self.scale = scale_factor
+        self.mode = mode
+        self.align_corners = align_corners
+
+    def init(self, key):
+        return {}, {}
+
+    def apply(self, params, stats, x, ctx):
+        h, w = x.shape[1] * self.scale, x.shape[2] * self.scale
+        if self.mode == "nearest":
+            y, _ = NearestUpsample(self.scale).apply({}, {}, x, ctx)
+            return y, stats
+        return bilinear_resize(x, int(h), int(w), self.align_corners), stats
+
+    def fold(self, params, stats):
+        return {}
+
+    def apply_folded(self, folded, x, ctx):
+        y, _ = self.apply({}, {}, x, ctx)
+        return y
+
+
+class Scale(Module):
+    """Learnable scalar multiplier (reference model/base.py:269-275)."""
+
+    def __init__(self, init_value=1.0, learnable=True):
+        self.init_value = init_value
+        self.learnable = learnable
+
+    def init(self, key):
+        return {"scale": jnp.full((1,), self.init_value, jnp.float32)}, {}
+
+    def apply(self, params, stats, x, ctx):
+        s = params["scale"] if self.learnable else jax.lax.stop_gradient(params["scale"])
+        return x * s, stats
+
+
+class SPP(Module):
+    """Spatial pyramid pooling: concat of max-pools + 1x1 conv
+    (reference model/base.py:197-207)."""
+
+    def __init__(self, kernel_size, channels, activation="leaky"):
+        self.kernel_size = list(kernel_size)
+        self.conv = ConvBNLeaky(channels * (len(kernel_size) + 1), channels, 1,
+                                activation=activation)
+
+    def init(self, key):
+        return self.conv.init(key)
+
+    def apply(self, params, stats, x, ctx):
+        pyramid = [x]
+        for k in self.kernel_size:
+            pyramid.append(jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, k, k, 1),
+                window_strides=(1, k, k, 1),
+                padding="VALID",
+            ))
+        # pools with stride=k shrink the map (torch MaxPool2d(k) semantics);
+        # broadcast back up for concat only when shapes match is the caller's
+        # concern — reference uses SPP on same-size pyramids via stride-1 pools.
+        target = x.shape[1:3]
+        merged = [x]
+        for p in pyramid[1:]:
+            if p.shape[1:3] != target:
+                b, h, w, c = p.shape
+                sy, sx = target[0] // h, target[1] // w
+                p = jnp.broadcast_to(p[:, :, None, :, None, :],
+                                     (b, h, sy, w, sx, c)).reshape(
+                    b, h * sy, w * sx, c)
+            merged.append(p)
+        y = jnp.concatenate(merged, axis=-1)
+        return self.conv.apply(params, stats, y, ctx)
+
+
+class FPN(Module):
+    """Feature pyramid with lateral + output convs and optional extra stride-2
+    levels (reference model/base.py:140-194).  ``x`` ordered top-down (smallest
+    resolution first), like the reference."""
+
+    def __init__(self, in_channels, out_channels, extra_levels=0,
+                 activation="none"):
+        self.in_channels = list(in_channels)
+        self.out_channels = out_channels
+        self.extra_levels = extra_levels
+        self.lateral_convs = Sequential(*[
+            ConvBNLeaky(c, out_channels, 1, activation=activation)
+            for c in self.in_channels
+        ])
+        self.output_convs = Sequential(*[
+            ConvBNLeaky(out_channels, out_channels, 3, padding=1, activation=activation)
+            for _ in self.in_channels
+        ])
+        extra = []
+        if extra_levels > 0:
+            extra.append(ConvBNLeaky(self.in_channels[0], out_channels, 3,
+                                     stride=2, padding=1, activation=activation))
+            for _ in range(extra_levels - 1):
+                extra.append(ConvBNLeaky(out_channels, out_channels, 3,
+                                         stride=2, padding=1, activation=activation))
+        self.extra_convs = Sequential(*extra)
+        self.upsample = NearestUpsample(2)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params, stats = {}, {}
+        params["lateral"], stats["lateral"] = self.lateral_convs.init(k1)
+        params["output"], stats["output"] = self.output_convs.init(k2)
+        params["extra"], stats["extra"] = self.extra_convs.init(k3)
+        return params, stats
+
+    def apply(self, params, stats, x, ctx):
+        ns = {"lateral": list(stats["lateral"]), "output": list(stats["output"]),
+              "extra": list(stats["extra"])}
+        outputs = []
+        prev, ns["lateral"][0] = self.lateral_convs[0].apply(
+            params["lateral"][0], stats["lateral"][0], x[0], ctx)
+        y, ns["output"][0] = self.output_convs[0].apply(
+            params["output"][0], stats["output"][0], prev, ctx)
+        outputs.append(y)
+        for i in range(1, len(x)):
+            lat, ns["lateral"][i] = self.lateral_convs[i].apply(
+                params["lateral"][i], stats["lateral"][i], x[i], ctx)
+            up, _ = self.upsample.apply({}, {}, prev, ctx)
+            prev = lat + up
+            y, ns["output"][i] = self.output_convs[i].apply(
+                params["output"][i], stats["output"][i], prev, ctx)
+            outputs.append(y)
+        feat = x[0]
+        for i in range(self.extra_levels):
+            feat, ns["extra"][i] = self.extra_convs[i].apply(
+                params["extra"][i], stats["extra"][i], feat, ctx)
+            outputs.insert(0, feat)
+        return outputs, ns

@@ -19,7 +19,10 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # only materialize device arrays; leave config strings/scalars untouched
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
 
 
 def save_checkpoint(path, state):

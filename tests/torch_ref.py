@@ -129,3 +129,49 @@ class TorchOrienMaskFPNPlus(nn.Module):
 
 def upsample4_bilinear(x):
     return F.interpolate(x, scale_factor=4, mode="bilinear", align_corners=False)
+
+
+class TorchBasicBlock(nn.Module):
+    """torchvision-layout BasicBlock (conv1/bn1/conv2/bn2/downsample)."""
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        if stride != 1 or cin != planes:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(idt + y)
+
+
+class TorchResNet18(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        for i, (planes, n) in enumerate(zip((64, 128, 256, 512), (2, 2, 2, 2))):
+            stride = 1 if i == 0 else 2
+            cin = 64 if i == 0 else planes // 2
+            blocks = [TorchBasicBlock(cin, planes, stride)]
+            blocks += [TorchBasicBlock(planes, planes) for _ in range(n - 1)]
+            setattr(self, f"layer{i+1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x4 = self.layer1(x)
+        x8 = self.layer2(x4)
+        x16 = self.layer3(x8)
+        x32 = self.layer4(x16)
+        return x32, x16, x8, x4
