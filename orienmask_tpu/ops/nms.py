@@ -60,8 +60,56 @@ def greedy_nms_select(boxes, scores, n_keep, iou_threshold=0.5):
     return keep_idx, keep_valid
 
 
+def greedy_nms_fixpoint(boxes, scores, n_keep, iou_threshold=0.5):
+    """Greedy NMS via suppression-closure fixpoint — the TPU-fast formulation.
+
+    In descending-score order, the greedy kept set satisfies
+    ``kept[j] = not any(i < j, kept[i], IoU(i,j) >= t)``.  Iterating that
+    recurrence from ``kept = all`` converges to the unique greedy solution in
+    at most the suppression-chain depth (a handful of rounds in practice, 3-8);
+    each round is one dense (n, n) masked reduction instead of a sequential
+    per-box scan — hundreds of tiny loop steps collapse into a few fused
+    matrix ops.  Exactness: a ``while_loop`` runs until the fixpoint, so the
+    result is bit-identical to the sequential reference algorithm.
+
+    Returns (keep_idx, keep_valid) like ``greedy_nms_select``: the top
+    ``n_keep`` surviving candidates in descending score order.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    svalid = scores[order] > NEG_INF / 2
+
+    from .boxes import bbox_ious
+
+    iou = bbox_ious(sboxes, sboxes)
+    row = jnp.arange(n)
+    # suppress[i, j]: higher-ranked valid i can suppress j
+    suppress = (iou >= iou_threshold) & (row[:, None] < row[None, :]) \
+        & svalid[:, None] & svalid[None, :]
+    suppress_f = suppress.astype(jnp.float32)
+
+    def cond(state):
+        kept, changed = state
+        return changed
+
+    def body(state):
+        kept, _ = state
+        dominated = (kept.astype(jnp.float32) @ suppress_f) > 0
+        new_kept = svalid & ~dominated
+        return new_kept, jnp.any(new_kept != kept)
+
+    kept, _ = jax.lax.while_loop(cond, body, (svalid, jnp.array(True)))
+
+    ranked = jnp.where(kept, -row, -(n + row))  # kept first, by ascending rank
+    _, top = jax.lax.top_k(ranked, n_keep)
+    keep_valid = kept[top]
+    keep_idx = order[top].astype(jnp.int32)
+    return keep_idx, keep_valid
+
+
 def batched_class_nms(boxes, scores, classes, n_keep, iou_threshold=0.5,
-                      normalized=True):
+                      normalized=True, method="fixpoint"):
     """Class-wise greedy NMS via coordinate offsets (reference batched_nms).
 
     ``normalized=True`` uses max_coordinate=1.5 so the per-class offset is
@@ -70,6 +118,8 @@ def batched_class_nms(boxes, scores, classes, n_keep, iou_threshold=0.5,
     max_coordinate = 1.5 if normalized else jnp.max(boxes[:, :2]) + jnp.max(boxes[:, 2:4]) / 2
     offsets = classes.astype(boxes.dtype)[:, None] * (max_coordinate + 0.5)
     shifted = jnp.concatenate([boxes[:, :2] + offsets, boxes[:, 2:4]], axis=1)
+    if method == "fixpoint":
+        return greedy_nms_fixpoint(shifted, scores, n_keep, iou_threshold)
     return greedy_nms_select(shifted, scores, n_keep, iou_threshold)
 
 

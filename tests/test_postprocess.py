@@ -108,3 +108,28 @@ def test_packed_masks_roundtrip():
     got_plain = pp_plain(batch)[0]
     got_packed = pp_packed(batch)[0]
     np.testing.assert_array_equal(got_packed["mask"], got_plain["mask"])
+
+
+def test_fixpoint_equals_sequential_select():
+    """Fixpoint NMS must match the sequential greedy selection exactly."""
+    from orienmask_tpu.ops.nms import (
+        NEG_INF, greedy_nms_fixpoint, greedy_nms_select,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n = 200
+        boxes = np.stack([
+            rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+            rng.uniform(0.02, 0.5, n), rng.uniform(0.02, 0.5, n),
+        ], axis=1).astype(np.float32)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        scores[rng.random(n) < 0.2] = NEG_INF  # some invalid
+        a_idx, a_valid = greedy_nms_select(
+            jnp.asarray(boxes), jnp.asarray(scores), 50, 0.5)
+        b_idx, b_valid = greedy_nms_fixpoint(
+            jnp.asarray(boxes), jnp.asarray(scores), 50, 0.5)
+        np.testing.assert_array_equal(np.asarray(a_valid), np.asarray(b_valid))
+        nv = int(np.asarray(a_valid).sum())
+        np.testing.assert_array_equal(
+            np.asarray(a_idx)[:nv], np.asarray(b_idx)[:nv], err_msg=f"trial {trial}")
