@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: fused orientation-mask assembly + bit-packing.
+
+The reference's native tier rasterizes instance masks on the GPU from the
+orientation field (eval/orienmask_yolo_postprocess.py:156-164 feeding the CUDA
+NMS extension's outputs).  This kernel is the TPU-native equivalent: for each
+kept detection it
+
+  * DMA-selects *only its anchor's* orientation slice out of HBM — the per-
+    detection anchor index arrives via ``PrefetchScalarGridSpec`` scalar
+    prefetch, so the block index_map can address the (anchor, row-block) tile
+    before the body runs;
+  * evaluates the in-instance predicate
+    ``|field * anchor/2 + mesh - center| < thresh * wh`` on the VPU;
+  * writes the mask as uint8; the caller bit-packs with XLA (Mosaic cannot
+    split the lane dimension in-register, so packing stays outside).
+
+Shapes: field (A, 2, H, W) f32, boxes (K, 4) normalized cxcywh, anchor wh
+(K, 2) normalized; output (K, H, W) uint8.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_POW2 = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.float32)  # MSB-first
+
+
+def _mask_kernel(aidx_ref, box_ref, na_ref, field_ref, out_ref, *, block_h,
+                 image_h, image_w, orien_thresh):
+    # field_ref: (1, 2, block_h, W) — this detection's anchor slice, row block
+    fx = field_ref[0, 0, :, :]
+    fy = field_ref[0, 1, :, :]
+
+    # Mosaic iota must be integer-typed; cast to f32 afterwards.
+    row0 = pl.program_id(1) * block_h
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 0) + row0
+            ).astype(jnp.float32) * (1.0 / image_h)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 1).astype(
+        jnp.float32) * (1.0 / image_w)
+
+    k = pl.program_id(0)
+    cx = box_ref[k, 0]
+    cy = box_ref[k, 1]
+    bw = box_ref[k, 2]
+    bh = box_ref[k, 3]
+    naw = na_ref[k, 0]
+    nah = na_ref[k, 1]
+
+    mx = jnp.abs(fx * (naw * 0.5) + cols - cx) < orien_thresh * bw
+    my = jnp.abs(fy * (nah * 0.5) + rows - cy) < orien_thresh * bh
+    # Mosaic can't split the lane dim in-register (no (H, W) -> (H, W/8, 8)
+    # reshape), so the kernel emits the u8 mask and XLA bit-packs outside.
+    out_ref[0] = (mx & my).astype(jnp.int32).astype(jnp.uint8)
+
+
+def assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
+                   block_h=136, interpret=False):
+    """field: (A, 2, H, W) f32; boxes: (K, 4); anchor_wh: (K, 2) normalized
+    anchor sizes of each detection; anchor_idx: (K,) int32.
+    Returns (K, H, W) uint8 masks (0/1)."""
+    a, two, h, w = field.shape
+    k = boxes.shape[0]
+    assert w % 8 == 0 and h % block_h == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # anchor_idx
+        grid=(k, h // block_h),
+        in_specs=[
+            pl.BlockSpec((k, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 2), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 2, block_h, w),
+                lambda ki, hi, aidx: (aidx[ki], 0, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_h, w), lambda ki, hi, aidx: (ki, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    kernel = functools.partial(
+        _mask_kernel, block_h=block_h, image_h=h, image_w=w,
+        orien_thresh=orien_thresh,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, h, w), jnp.uint8),
+        interpret=interpret,
+    )(anchor_idx.astype(jnp.int32), boxes, anchor_wh, field)
+
+
+def assemble_masks_packed(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
+                          block_h=136, interpret=False):
+    """Pallas assembly + XLA bit-packing -> (K, H, ceil(W/8)) uint8."""
+    from .maskops import pack_bits
+
+    m = assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh,
+                       block_h, interpret)
+    return pack_bits(m.astype(bool))
