@@ -73,5 +73,40 @@ def main():
     }))
 
 
+def _supervised():
+    """Run main() in a child process with watchdog+retry.
+
+    The axon TPU relay occasionally wedges a fresh client at backend init
+    (0% CPU forever); a supervised child with a hard timeout and retry makes
+    unattended benchmark runs reliable.
+    """
+    import os
+    import subprocess
+    import sys
+
+    for attempt in range(3):
+        env = dict(os.environ, ORIENMASK_BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=480,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        # child failed without a result: surface stderr once, then retry
+        if attempt == 2:
+            sys.stderr.write(proc.stderr[-2000:])
+    raise SystemExit("bench: no result after 3 supervised attempts")
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("ORIENMASK_BENCH_CHILD"):
+        main()
+    else:
+        _supervised()

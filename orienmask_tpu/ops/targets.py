@@ -13,12 +13,12 @@ re-derived as static-shape tensor programs over a padded ``(N_max,)`` instance a
     a pixel covered by any instance (within its ROI) takes the offset of the *last*
     covering instance and mask=-1; otherwise it accumulates background push-to-border
     offsets from every ROI it falls in, averaged by count.  Realized as a chunked
-    ``lax.scan`` (chunk instances vectorized per step, later chunk wins).
+    ``lax.while_loop`` with a *dynamic* trip count (only chunks containing
+    matched instances run; chunk members vectorized per step, later chunk wins).
 
 All constants are precomputed in numpy at builder-construction time.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ single jit per input shape (one compiled program per (H, W), cached — SURVEY.m
 only transfers are the uint8 input and the (optionally bit-packed) outputs.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

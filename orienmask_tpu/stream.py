@@ -10,7 +10,6 @@ queues; SURVEY.md §5.7 per-resolution program caching).
 
 from collections import deque
 
-import jax
 
 
 class StreamingPipeline:

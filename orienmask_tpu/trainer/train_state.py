@@ -11,7 +11,6 @@ optimizer every ``accumulate`` microbatches with the reference's lr/accumulate
 compensation (builder.py:121).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -127,3 +127,36 @@ def test_recover_shape_bbox_inverse():
         np.array([[bx, by, bw, bh]], np.float32), info
     )
     np.testing.assert_allclose(out[0], [320 - 50, 240 - 30, 100, 60], atol=1e-3)
+
+
+def test_coco_shard_merge(tmp_path):
+    """Multi-host COCO result sharding: save/merge through json files
+    (reference trainer/trainer.py:175-181 protocol)."""
+    m1 = COCOMetrics(gt_file=None, cat2label=[1, 2], with_mask=True,
+                     save_dir=str(tmp_path))
+    m2 = COCOMetrics(gt_file=None, cat2label=[1, 2], with_mask=True,
+                     save_dir=str(tmp_path))
+    det = {"bbox": np.array([[0.5, 0.5, 0.2, 0.2, 0.9]], np.float32),
+           "mask": np.ones((1, 32, 32), bool),
+           "cls": np.array([0])}
+    info = [{"id": 7, "height": 64, "width": 64}]
+    m1.update_results(m1.to_coco_format(info, [det]))
+    info2 = [{"id": 8, "height": 64, "width": 64}]
+    m2.update_results(m2.to_coco_format(info2, [det]))
+
+    shard = str(tmp_path / "shard.json")
+    m2.save_as_json(shard)
+    m1.update_from_json(shard)
+    assert len(m1.bbox_results) == 2
+    assert {r["image_id"] for r in m1.bbox_results} == {7, 8}
+    assert len(m1.segm_results) == 2
+
+
+def test_pad_skip_in_to_coco_format():
+    m = COCOMetrics(gt_file=None, cat2label=[1], with_mask=False, save_dir=".")
+    det = {"bbox": np.array([[0.5, 0.5, 0.2, 0.2, 0.9]], np.float32),
+           "cls": np.array([0])}
+    infos = [{"id": 1, "height": 64, "width": 64},
+             {"id": 1, "height": 64, "width": 64, "_pad": True}]
+    out = m.to_coco_format(infos, [det, det])
+    assert len(out["bbox"]) == 1  # padded eval sample skipped
