@@ -7,8 +7,8 @@ state — everything jit/vmap/grad-friendly.
 
 Design notes (TPU-first):
   * NHWC activations / HWIO kernels — the native XLA TPU conv layout.
-  * ``ctx['dtype']`` selects the conv compute dtype (bf16 on the MXU for inference);
-    accumulation is always float32 via ``preferred_element_type``.
+  * ``ctx['dtype']`` selects the conv compute dtype (bf16 rides the MXU, whose
+    internal accumulation is f32); BatchNorm statistics and affine run in f32.
   * BatchNorm in training uses the *global* batch statistics: under a batch-sharded
     jit, ``jnp.mean`` over the batch axis compiles to an XLA all-reduce over ICI, so
     cross-device SyncBatchNorm (reference trainer/builder.py:86) falls out for free.
@@ -50,7 +50,12 @@ def _conv_init(key, ksize, cin, cout, with_bias):
 
 
 def conv2d(x, kernel, stride=1, padding=0, dtype=jnp.float32):
-    """NHWC conv with torch-style symmetric integer padding."""
+    """NHWC conv with torch-style symmetric integer padding.
+
+    Inputs are cast to the compute ``dtype`` (bf16 rides the MXU, which
+    accumulates in f32 internally regardless); the output keeps the compute
+    dtype so AD transposes stay dtype-uniform — callers upcast where f32
+    arithmetic matters (BatchNorm)."""
     pad = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
         x.astype(dtype),
@@ -58,7 +63,6 @@ def conv2d(x, kernel, stride=1, padding=0, dtype=jnp.float32):
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -105,6 +109,7 @@ class ConvBNLeaky(Module):
 
     def apply(self, params, stats, x, ctx):
         y = conv2d(x, params["kernel"], self.stride, self.padding, ctx["dtype"])
+        y = y.astype(jnp.float32)  # BN statistics/affine in f32
         if ctx["train"]:
             # Global (cross-device under sharded jit) batch statistics.
             mean = jnp.mean(y, axis=(0, 1, 2))
@@ -135,7 +140,7 @@ class ConvBNLeaky(Module):
 
     def apply_folded(self, folded, x, ctx):
         y = conv2d(x, folded["kernel"], self.stride, self.padding, ctx["dtype"])
-        y = y + folded["bias"]
+        y = y.astype(jnp.float32) + folded["bias"]
         if self.activation == "leaky":
             y = leaky_relu(y)
         return y
@@ -156,7 +161,7 @@ class Conv(Module):
 
     def apply(self, params, stats, x, ctx):
         y = conv2d(x, params["kernel"], self.stride, self.padding, ctx["dtype"])
-        return y + params["bias"], stats
+        return y.astype(jnp.float32) + params["bias"], stats
 
     def fold(self, params, stats):
         return params

@@ -50,8 +50,7 @@ class ConvBN(Module):
             (self.stride, self.stride), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if ctx["train"]:
             mean = jnp.mean(y, axis=(0, 1, 2))
             var = jnp.mean(jnp.square(y), axis=(0, 1, 2)) - jnp.square(mean)
