@@ -3,7 +3,7 @@
 Our own runtime component (the reference leans on torch's DataLoader): worker
 processes pull sample indices from a task queue, run dataset.__getitem__ +
 transform, and push transformed samples back; the parent assembles batches with
-the collate fn and keeps ``prefetch`` batches in flight.  Supports:
+the collate fn. Supports:
 
   * epoch-seeded shuffling (``set_epoch``, like DistributedSampler.set_epoch),
   * rank/world sharding for data-parallel hosts,
@@ -47,9 +47,12 @@ class _Worker(mp.Process):
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
                  collate_fn=None, drop_last=False, pad_last=False, seed=0,
-                 rank=0, world_size=1, prefetch=4, **unused):
+                 rank=0, world_size=1, **unused):
         # pad_last: wrap-pad the final batch to full batch_size (keeps compiled
-        # shapes static); padded samples get info['_pad']=True so eval skips them
+        # shapes static); padded samples get info['_pad']=True so eval skips them.
+        # All sample jobs of an epoch are dispatched to the workers up front, so
+        # prefetch depth is bounded only by worker throughput (the queues hold
+        # transformed samples; at COCO sizes this is a few GB of headroom max).
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,7 +63,6 @@ class DataLoader:
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
-        self.prefetch = prefetch
         self.epoch = 0
         self._workers = []
         self._task_q = None

@@ -143,3 +143,18 @@ def test_debug_assert_finite():
     assert_finite_tree({"a": np.ones(3)})
     with pytest.raises(FloatingPointError):
         assert_finite_tree({"a": np.array([1.0, np.nan])})
+
+
+def test_param_group_factors_structure():
+    from orienmask_tpu.optim import param_group_factors
+
+    params = {
+        "cbl": {"kernel": np.zeros((3, 3, 4, 8)), "scale": np.ones(8), "bias": np.zeros(8)},
+        "head": {"kernel": np.zeros((1, 1, 8, 2)), "bias": np.zeros(2)},
+    }
+    lr_f, wd_f = param_group_factors(params, weight_decay=5e-4,
+                                     norm_weight_decay=0.0, bias_lr_factor=2.0,
+                                     bias_weight_decay=1e-4)
+    assert lr_f["cbl"]["kernel"] == 1.0 and wd_f["cbl"]["kernel"] == 5e-4
+    assert wd_f["cbl"]["scale"] == 0.0 and wd_f["cbl"]["bias"] == 0.0
+    assert lr_f["head"]["bias"] == 2.0 and wd_f["head"]["bias"] == 1e-4
