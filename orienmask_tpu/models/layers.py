@@ -139,8 +139,11 @@ class ConvBNLeaky(Module):
         return {"kernel": kernel, "bias": bias}
 
     def apply_folded(self, folded, x, ctx):
+        # Stay in the compute dtype between folded convs: every conv input is
+        # truncated to it anyway, so upcasting in between only costs HBM
+        # bandwidth. Prediction heads (plain Conv) still emit f32.
         y = conv2d(x, folded["kernel"], self.stride, self.padding, ctx["dtype"])
-        y = y.astype(jnp.float32) + folded["bias"]
+        y = y + folded["bias"].astype(y.dtype)
         if self.activation == "leaky":
             y = leaky_relu(y)
         return y
