@@ -1,0 +1,58 @@
+"""Infrastructure coverage: timer registry, config composition, checkpoint cadence."""
+
+import os
+import time
+
+import numpy as np
+
+from orienmask_tpu.config.base import construct_config
+from orienmask_tpu.trainer.checkpoint import CheckpointManager, load_checkpoint
+from orienmask_tpu.utils import timer
+
+
+def test_construct_config_merge_and_pop():
+    base = {"a": 1, "b": {"c": 2, "d": 3}, "e": [1, 2]}
+    out = construct_config(base, update={"b": {"c": 9}, "e": [5]}, pop=["b.d"])
+    assert out == {"a": 1, "b": {"c": 9}, "e": [5]}
+    assert base["b"] == {"c": 2, "d": 3}  # base untouched (deepcopy)
+
+
+def test_timer_registry():
+    timer.reset()
+    for _ in range(3):
+        with timer.timer("stage a"):
+            time.sleep(0.01)
+    with timer.timer("stage b"):
+        time.sleep(0.02)
+    log = timer.get_all_elapsed_time()
+    assert set(log) == {"stage a", "stage b"}
+    # only lower bounds: the 1-core CI box has unbounded scheduling jitter
+    assert log["stage a"] >= 10
+    assert log["stage b"] >= 20
+    timer.reset()
+    assert timer.get_all_elapsed_time() == {}
+
+
+def test_checkpoint_cadence_and_best_symlink(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), save_freq=2)
+    state = {"epoch": 0, "params": {"w": np.ones(3)}, "batch_stats": {},
+             "opt_state": {}, "monitor_best": 0.0, "config": {"model": "m"}}
+
+    mgr.save(1, dict(state, epoch=1), temp=True)
+    assert os.path.exists(tmp_path / "temp.ckpt")
+    assert not os.path.exists(tmp_path / "epoch1.ckpt")
+
+    mgr.save(2, dict(state, epoch=2), save_best=True)
+    assert os.path.exists(tmp_path / "epoch2.ckpt")
+    assert os.path.islink(tmp_path / "best_model.ckpt")
+    assert os.readlink(tmp_path / "best_model.ckpt") == "best_epoch2.ckpt"
+
+    mgr.save(4, dict(state, epoch=4), save_best=True)
+    # stale best removed, symlink retargeted (reference trainer/base.py:158-166)
+    assert not os.path.exists(tmp_path / "best_epoch2.ckpt")
+    assert os.readlink(tmp_path / "best_model.ckpt") == "best_epoch4.ckpt"
+
+    ckpt = load_checkpoint(str(tmp_path / "best_model.ckpt"))
+    assert ckpt["epoch"] == 4
+    assert ckpt["config"] == {"model": "m"}
+    np.testing.assert_array_equal(ckpt["params"]["w"], np.ones(3))
