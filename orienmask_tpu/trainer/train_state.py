@@ -100,6 +100,10 @@ def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
             state["grad_acc"] = jax.tree_util.tree_map(
                 jnp.zeros_like, variables["params"]
             )
+        # Copy (not just place): train_step donates its state, and device_put is
+        # a no-op for already-placed arrays — without the copy the caller's
+        # ``variables`` would be invalidated by the first step.
+        state = jax.tree_util.tree_map(jnp.array, state)
         return jax.device_put(state, repl)
 
     return jitted, init_state
