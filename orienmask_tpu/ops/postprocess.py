@@ -8,7 +8,7 @@ class-offset greedy NMS, orientation->mask assembly — is a single jitted funct
 
   * dynamic ``nonzero`` -> score-masked ``top_k`` to ``nms_pre`` (same selected set:
     both keep the top 400 above-threshold (det, class) pairs);
-  * CUDA NMS -> fixed 100-iteration greedy selection (ops/nms.py);
+  * CUDA NMS -> exact greedy NMS as a suppression-closure fixpoint (ops/nms.py);
   * per-detection orientation mask via the normalized-coordinate identity
     ``|up * anchor_norm/2 + mesh_norm - center| < orien_thresh * wh`` which folds the
     reference's per-scale ``base_xy`` grids (postprocess.py:38-61,141-164) into one
@@ -19,8 +19,6 @@ class-offset greedy NMS, orientation->mask assembly — is a single jitted funct
 Flatten order is scale-major then anchor-major, matching the reference concatenation
 (postprocess.py:59-63) for tie-breaking parity.
 """
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +82,7 @@ class OrienMaskYOLOPostProcess:
         self.mesh_x = xs[None, :]  # (1, W)
         self.mesh_y = ys[:, None]  # (H, 1)
 
-        self._apply_batch = jax.jit(functools.partial(self._run_batch))
+        self._apply_batch = jax.jit(self._run_batch)
 
     # ------------------------------------------------------------------ decode
 

@@ -101,9 +101,8 @@ def test_packed_masks_roundtrip():
     pp_plain = _make_pp()
     pp_packed = _make_pp()
     pp_packed.pack_masks = True
-    pp_packed._apply_batch = pp_packed._apply_batch  # same jit, flag read at trace
-    import jax, functools
-    pp_packed._apply_batch = jax.jit(functools.partial(pp_packed._run_batch))
+    import jax
+    pp_packed._apply_batch = jax.jit(pp_packed._run_batch)  # retrace with flag set
     batch = [(jnp.asarray(b)[None], jnp.asarray(o)[None]) for b, o in preds]
     got_plain = pp_plain(batch)[0]
     got_packed = pp_packed(batch)[0]
