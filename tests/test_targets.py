@@ -52,7 +52,7 @@ def _pad_gt(bbox, cls, masks):
 
 @pytest.mark.parametrize("seed,n_inst", [(0, 4), (1, 9), (2, 1), (3, 0), (4, 13)])
 @pytest.mark.parametrize("scale", [0, 1, 2])
-@pytest.mark.parametrize("chunk", [4])
+@pytest.mark.parametrize("chunk", [4])  # chunk=1/16 covered by the fuzz test below
 def test_targets_match_oracle(seed, n_inst, scale, chunk):
     rng = np.random.default_rng(seed)
     bbox, cls, masks = _random_gt(rng, n_inst)
@@ -96,3 +96,29 @@ def test_targets_empty_sample():
     assert float(np.asarray(out[0]).sum()) == 0  # no positives
     assert float(np.asarray(out[1]).min()) == 1  # all negative
     assert float(np.abs(np.asarray(out[9])).sum()) == 0  # no orientation targets
+
+
+@pytest.mark.parametrize("seed", [100, 101, 102, 103])
+def test_targets_fuzz_chunk_sizes(seed):
+    """Edge chunk sizes (1 and 16) against the oracle on random instances."""
+    rng = np.random.default_rng(seed)
+    n_inst = int(rng.integers(0, 15))
+    bbox, cls, masks = _random_gt(rng, n_inst)
+    npred = 3 * GRID[0] * GRID[1]
+    pred_boxes = np.stack([
+        rng.uniform(0, GRID[1], npred), rng.uniform(0, GRID[0], npred),
+        rng.uniform(0.3, 4.0, npred), rng.uniform(0.3, 4.0, npred),
+    ], axis=1).astype(np.float32)
+    pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+    ref = reference_build_targets(
+        bbox.astype(np.float64), cls, masks.astype(np.float64),
+        pred_boxes.astype(np.float64), GRID, IMAGE, ANCHORS, MASKS[seed % 3],
+        NUM_CLASSES, ignore_thresh=0.6)
+    for chunk in (1, 16):
+        builder = TargetBuilder(GRID, IMAGE, ANCHORS, MASKS[seed % 3], NUM_CLASSES,
+                                obj_ignore_threshold=0.6, chunk=chunk)
+        got = builder(jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(pm),
+                      jnp.asarray(pv), jnp.asarray(pred_boxes))
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g, np.float64), r,
+                                       rtol=1e-4, atol=1e-5)
