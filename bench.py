@@ -55,10 +55,15 @@ def main():
     import jax.numpy as jnp
 
     dev_image = jnp.asarray(image)
+    import os
+
+    from orienmask_tpu.utils.profiler import trace
+
     n = 200
     start = time.perf_counter()
-    outs = [pipeline.run_device(dev_image) for _ in range(n)]
-    jax.block_until_ready(outs)
+    with trace(os.environ.get("ORIENMASK_PROFILE_DIR")):
+        outs = [pipeline.run_device(dev_image) for _ in range(n)]
+        jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
     fps = n / elapsed
     # prove the host path works end-to-end (outside the timed region)

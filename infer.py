@@ -39,6 +39,8 @@ if __name__ == "__main__":
     parser.add_argument("-s", "--show", default=False, action="store_true")
     parser.add_argument("--random-weights", action="store_true",
                         help="run with randomly initialized weights (no -w)")
+    parser.add_argument("--profile", default=None, type=str,
+                        help="capture a jax profiler trace of the main loop to this dir")
     args = parser.parse_args()
 
     if args.config.endswith(".json"):
@@ -115,8 +117,10 @@ if __name__ == "__main__":
         for _ in range(10):
             dets, _ = pipeline(warm)
 
+    from orienmask_tpu.utils.profiler import trace
+
     n_iter = len(image_files)
-    with timer.timer("Main Loop") as main_t:
+    with trace(args.profile), timer.timer("Main Loop") as main_t:
         for idx, image_file in tqdm(list(enumerate(image_files)), total=n_iter):
             with timer.timer("Load data"):
                 src_image = load_image(image_file)
