@@ -3,6 +3,12 @@
 Host loop responsibilities only: feed sharded batches, evaluate the LR schedule,
 collect device-scalar logs asynchronously (fetched every ``writer_freq`` steps to
 keep the dispatch pipeline full), NaN abort, tensorboard, COCO validation.
+
+NaN semantics: the reference checks ``isfinite(loss)`` every batch, which forces
+a device sync per step; here logs are drained every ``writer_freq`` steps, so a
+NaN aborts within one logging window instead of one step — the async dispatch
+pipeline stays full in exchange.  Use utils.debug.enable_nan_debugging() to trap
+the exact op when hunting one down.
 """
 
 import os
