@@ -12,7 +12,7 @@ import logging
 import math
 import os
 
-from ..utils.envs import get_device_rank
+from ..utils.envs import get_device_rank, get_world_size
 from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
 
 
@@ -32,6 +32,12 @@ class BaseTrainer:
                 os.makedirs(self.checkpoint_dir, exist_ok=True)
                 with open(os.path.join(self.checkpoint_dir, "config.json"), "w") as fh:
                     json.dump(config, fh, indent=4)
+            if get_world_size() > 1:
+                # wait for rank 0's run dir (shared FS) before anyone logs into
+                # it — the reference's dist.barrier at trainer/base.py:50
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("run_dir")
 
         logging.basicConfig(
             level=logging.INFO if self.device_rank == 0 else logging.ERROR,

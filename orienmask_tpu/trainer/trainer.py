@@ -193,6 +193,7 @@ class Trainer(BaseTrainer):
                 dets = self.coco_metrics.to_coco_format(info, detections)
                 self.coco_metrics.update_results(dets)
 
+        self._merge_coco_shards()
         val_log = {}
         if self.device_rank == 0:
             coco_log = self.coco_metrics.coco_eval() if self.coco_metrics else {}
@@ -212,6 +213,30 @@ class Trainer(BaseTrainer):
                 val_log[f"val_{key}"] = value
         counter.reset_epoch()
         return val_log
+
+    def _merge_coco_shards(self):
+        """Multi-host COCO result gathering (reference trainer.py:175-181): the
+        val loader is rank-sharded, so each host holds 1/world of the
+        detections; non-zero ranks dump their shard, rank 0 merges after a
+        cross-host barrier.  Loss/metric counters need no merging — they are
+        global device scalars already (GSPMD reductions span the whole mesh)."""
+        from ..utils.envs import get_world_size
+
+        if self.coco_metrics is None or get_world_size() < 2:
+            return
+        import os
+
+        from jax.experimental import multihost_utils
+
+        if self.device_rank != 0:
+            self.coco_metrics.save_as_json(os.path.join(
+                self.checkpoint_dir, f"_coco_shard_{self.device_rank}.json"))
+        multihost_utils.sync_global_devices("coco_shards")
+        if self.device_rank == 0:
+            for r in range(1, get_world_size()):
+                path = os.path.join(self.checkpoint_dir, f"_coco_shard_{r}.json")
+                self.coco_metrics.update_from_json(path)
+                os.remove(path)
 
     # ---------------------------------------------------------------- logging
 
