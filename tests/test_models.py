@@ -105,3 +105,29 @@ def test_bilinear_resize_matches_torch():
     ref = upsample4_bilinear(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(bilinear_resize(jnp.asarray(x), 68, 92))
     np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-5)
+
+
+def test_base_variant_matches_torch():
+    """OrienMaskYOLO (non-FPNPlus) golden vs its torch oracle."""
+    import torch
+    from torch_ref import TorchOrienMaskBase
+
+    torch.manual_seed(1)
+    tmodel = TorchOrienMaskBase(num_anchors=3, num_classes=12).eval()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3)
+            m.running_var.uniform_(0.6, 1.6)
+    jmodel = OrienMaskYOLO(num_anchors=3, num_classes=12)
+    variables = torch_to_variables(jmodel, tmodel.state_dict())
+
+    rng = np.random.default_rng(4)
+    x = _rand_image(rng, 1, 64, 64)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jout, _ = jmodel.forward(variables, jnp.asarray(x), train=False)
+    for s in range(3):
+        for j in range(2):
+            ref = tout[s][j].numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(jout[s][j])
+            np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)

@@ -175,3 +175,41 @@ class TorchResNet18(nn.Module):
         x16 = self.layer3(x8)
         x32 = self.layer4(x16)
         return x32, x16, x8, x4
+
+
+class TorchOrienMaskBase(nn.Module):
+    """The base (non-FPNPlus) variant: orientation path = route8(neck8) + x4."""
+
+    def __init__(self, num_anchors=3, num_classes=80):
+        super().__init__()
+        self.num_anchors = num_anchors
+        a = num_anchors
+        bbox_dim = a * (5 + num_classes)
+        self.backbone = TorchDarkNet53()
+        self.neck32 = t_neck(1024, 512)
+        self.neck16 = t_neck(768, 256)
+        self.neck8 = t_neck(384, 128)
+        self.neck4 = t_neck(192, 128)
+        self.route32 = t_route(512, 256, 2)
+        self.route16 = t_route(256, 128, 2)
+        self.route8 = t_route(128, 64, 2)
+        self.bbox_head8 = t_bbox_head(128, bbox_dim)
+        self.bbox_head16 = t_bbox_head(256, bbox_dim)
+        self.bbox_head32 = t_bbox_head(512, bbox_dim)
+        self.orien_head = t_orien_head(128, a * 6)
+
+    def forward(self, x):
+        x32, x16, x8, x4 = self.backbone(x)
+        neck32 = self.neck32(x32)
+        neck16 = self.neck16(torch.cat([self.route32(neck32), x16], dim=1))
+        neck8 = self.neck8(torch.cat([self.route16(neck16), x8], dim=1))
+        bbox32 = self.bbox_head32(neck32)
+        bbox16 = self.bbox_head16(neck16)
+        bbox8 = self.bbox_head8(neck8)
+        oriens = self.orien_head(self.neck4(torch.cat([self.route8(neck8), x4], dim=1)))
+        a2 = self.num_anchors * 2
+        return (
+            (bbox32, oriens[:, :a2]),
+            (bbox16, oriens[:, a2:2 * a2]),
+            (bbox8, oriens[:, 2 * a2:]),
+        )
