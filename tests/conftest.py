@@ -11,7 +11,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual device threads share ONE physical core here. XLA:CPU aborts the
+# process (CHECK-fail in rendezvous.cc) if a cross-device collective's
+# participants don't all arrive within 40s — under late-suite load the
+# sharded train-step tests trip that spuriously. Give collectives real slack.
+if "collective" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=900"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
