@@ -27,6 +27,14 @@ class _Worker(mp.Process):
         self.result_q = result_q
 
     def run(self):
+        # Workers are forked from a parent that may hold cv2/XLA thread pools;
+        # cv2's internal pool does not survive fork — disable it (per-op numpy
+        # work dominates anyway, and the parent machine is single-core).
+        try:
+            import cv2
+            cv2.setNumThreads(0)
+        except Exception:
+            pass
         while True:
             task = self.task_q.get()
             if task is None:

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.layers import bilinear_resize
-from .targets import TargetBuilder
+from .targets import OrientationPainter, TargetBuilder
 
 
 def _pair(x):
@@ -58,8 +58,8 @@ class OrienMaskYOLOLoss:
             chunk=target_chunk,
         )
 
-    def __call__(self, predict, target, training=True):
-        loss_items, metric_items = self._get_loss(predict, target, training)
+    def __call__(self, predict, target, training=True, orien=None):
+        loss_items, metric_items = self._get_loss(predict, target, training, orien)
         w = jnp.asarray(self.weight)
         loss_cat = jnp.stack(loss_items) * w
         loss_log = {k: v for k, v in zip(self.loss_id, loss_cat)}
@@ -68,7 +68,7 @@ class OrienMaskYOLOLoss:
         loss_log[self.loss_sum_id] = loss_sum
         return loss_sum, loss_log, metric_log
 
-    def _get_loss(self, predict, target, training=True):
+    def _get_loss(self, predict, target, training=True, orien=None):
         pred_bbox, pred_orien = predict  # NHWC
         nb = pred_bbox.shape[0]
         na, nh, nw = self.num_anchors, self.grid_h, self.grid_w
@@ -98,13 +98,25 @@ class OrienMaskYOLOLoss:
 
         # Targets are constants w.r.t. params (reference detaches pred boxes);
         # stop_gradient keeps AD from building a transpose of the painting scan.
-        (bbox_pos_mask, bbox_neg_mask, bbox_pos_scale, txy, twh, tiou, tcls,
-         orien_pos_mask, orien_neg_mask, torien) = jax.lax.stop_gradient(
-            jax.vmap(self.target_builder)(
-                target["bbox"], target["cls"], target["mask"], target["valid"],
-                pred_boxes,
+        if orien is None:
+            # standalone path: this scale paints its own orientation targets
+            (bbox_pos_mask, bbox_neg_mask, bbox_pos_scale, txy, twh, tiou, tcls,
+             orien_pos_mask, orien_neg_mask, torien) = jax.lax.stop_gradient(
+                jax.vmap(self.target_builder)(
+                    target["bbox"], target["cls"], target["mask"],
+                    target["valid"], pred_boxes,
+                )
             )
-        )
+        else:
+            # shared path: orientation targets painted once for all scales by
+            # OrienMaskYOLOMultiScaleLoss's OrientationPainter and sliced here
+            (bbox_pos_mask, bbox_neg_mask, bbox_pos_scale, txy, twh, tiou,
+             tcls) = jax.lax.stop_gradient(
+                jax.vmap(self.target_builder.bbox_targets)(
+                    target["bbox"], target["cls"], target["valid"], pred_boxes,
+                )
+            )
+            orien_pos_mask, orien_neg_mask, torien = orien
 
         loss_xy = (bce_with_logits(xy_logit, txy) * bbox_pos_scale[..., None]).sum() / nb
         loss_wh = (jnp.square(pred_wh - twh) * bbox_pos_scale[..., None]).sum() / 2 / nb
@@ -205,11 +217,38 @@ class OrienMaskYOLOMultiScaleLoss:
         self.cross_scale_metric_id = [f"cross_scale_{x}" for x in self.metric_suffix]
         self.metric_id += self.cross_scale_metric_id
 
+        # One image-resolution painting pass shared by all scales (each GT's
+        # anchor argmax lands on exactly one scale — see OrientationPainter).
+        self.painter = OrientationPainter(
+            image_size, anchors, anchor_mask, grid_size,
+            center_region, valid_region, chunk=target_chunk,
+        )
+
+    def _paint_shared(self, gt_bbox, gt_valid, gt_mask):
+        """One sample: global anchor per GT from the per-scale matchers (so the
+        painted set agrees exactly with each scale's bbox-side assignment),
+        then a single painting pass over all anchors."""
+        ga = jnp.full(gt_bbox.shape[:1], -1, jnp.int32)
+        for sl in self.scale_losses:
+            tb = sl.target_builder
+            local, matched = tb.match(gt_bbox, gt_valid)
+            cand = jnp.asarray(np.asarray(tb.anchor_mask, np.int32))[
+                jnp.maximum(local, 0)]
+            ga = jnp.where(matched & (ga < 0), cand, ga)
+        return self.painter(gt_bbox, ga, ga >= 0, gt_mask)
+
     def __call__(self, predict, target, training=True):
+        pos9, neg9, tor9 = jax.lax.stop_gradient(jax.vmap(self._paint_shared)(
+            target["bbox"], target["valid"], target["mask"]
+        ))
+
         loss_list, loss_log, metric_log = [], {}, {}
         for i in range(self.num_scales):
+            idx = np.asarray(self.scale_losses[i].target_builder.anchor_mask)
+            orien_i = (jnp.take(pos9, idx, axis=1), jnp.take(neg9, idx, axis=1),
+                       jnp.take(tor9, idx, axis=1))
             s_loss, s_loss_log, s_metric_log = self.scale_losses[i](
-                predict[i], target, training
+                predict[i], target, training, orien=orien_i
             )
             loss_list.append(s_loss)
             loss_log.update(s_loss_log)

@@ -107,3 +107,40 @@ def test_multiscale_loss_matches_numpy():
     # metrics exist and are finite (sum, count) pairs
     v = metric_log["cross_scale_avg_iou"]
     assert np.isfinite(float(v[0])) and float(v[1]) > 0
+
+
+def test_shared_painting_equals_standalone():
+    """Multi-scale loss (one shared OrientationPainter pass) must equal the
+    per-scale standalone path (each scale painting its own targets)."""
+    rng = np.random.default_rng(3)
+    bbox, cls, masks = _random_gt(rng, 9)
+    pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+    target = {
+        "bbox": jnp.asarray(pb)[None], "cls": jnp.asarray(pc)[None],
+        "mask": jnp.asarray(pm)[None], "valid": jnp.asarray(pv)[None],
+    }
+    loss = OrienMaskYOLOMultiScaleLoss(
+        grid_size=[list(g) for g in GRIDS], image_size=list(IMAGE),
+        anchors=ANCHORS, anchor_mask=MASKS, num_classes=NUM_CLASSES,
+        center_region=0.6, valid_region=0.6, label_smooth=False,
+        obj_ignore_threshold=0.6, weight=[1, 1, 1, 1, 1, 20, 20],
+        scales_weight=[1, 1, 1], target_chunk=4,
+    )
+    predict = []
+    for s in range(3):
+        nh, nw = GRIDS[s]
+        b = rng.standard_normal((nh, nw, 3 * (5 + NUM_CLASSES))).astype(np.float32)
+        o = rng.standard_normal((IMAGE[0] // 4, IMAGE[1] // 4, 6)).astype(np.float32)
+        predict.append((jnp.asarray(b)[None], jnp.asarray(o)[None]))
+
+    shared_sum, shared_log, shared_metrics = loss(predict, target, training=False)
+
+    # standalone: each scale loss called directly (orien=None -> own painting)
+    for s, sl in enumerate(loss.scale_losses):
+        s_loss, s_log, s_metrics = sl(predict[s], target, training=False)
+        for k, v in s_log.items():
+            np.testing.assert_allclose(float(shared_log[k]), float(v),
+                                       rtol=1e-6, err_msg=k)
+        for k, v in s_metrics.items():
+            np.testing.assert_allclose(float(shared_metrics[k][0]), float(v[0]),
+                                       rtol=1e-6, err_msg=k)

@@ -98,6 +98,52 @@ def test_targets_empty_sample():
     assert float(np.abs(np.asarray(out[9])).sum()) == 0  # no orientation targets
 
 
+@pytest.mark.parametrize("seed", [7, 8])
+def test_unified_painter_matches_per_scale(seed):
+    """OrientationPainter (one 9-anchor pass) must reproduce the three
+    per-scale painting loops exactly — including per-GT margins from each
+    scale's own grid geometry (different grids per scale here)."""
+    from orienmask_tpu.ops.targets import OrientationPainter
+
+    grids = [(2, 2), (4, 4), (8, 8)]
+    rng = np.random.default_rng(seed)
+    bbox, cls, masks = _random_gt(rng, 11)
+    pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+    pb_j, pv_j, pm_j = jnp.asarray(pb), jnp.asarray(pv), jnp.asarray(pm)
+
+    builders = [
+        TargetBuilder(grids[s], IMAGE, ANCHORS, MASKS[s], NUM_CLASSES,
+                      center_region=0.6, valid_region=0.6, chunk=4)
+        for s in range(3)
+    ]
+    painter = OrientationPainter(IMAGE, ANCHORS, MASKS, grids,
+                                 center_region=0.6, valid_region=0.6, chunk=4)
+
+    # global anchor per GT, first-matching-scale wins (loss _paint_shared)
+    ga = jnp.full((N_MAX,), -1, jnp.int32)
+    for tb in builders:
+        local, matched = tb.match(pb_j, pv_j)
+        cand = jnp.asarray(np.asarray(tb.anchor_mask, np.int32))[jnp.maximum(local, 0)]
+        ga = jnp.where(matched & (ga < 0), cand, ga)
+    pos9, neg9, tor9 = painter(pb_j, ga, ga >= 0, pm_j)
+
+    painted_any = False
+    for s, tb in enumerate(builders):
+        g = pb * np.array([tb.grid_w, tb.grid_h, tb.grid_w, tb.grid_h], np.float32)
+        local, matched = tb.match(pb_j, pv_j)
+        ref = tb._orientation_targets(
+            jnp.asarray(g[:, :2]), jnp.asarray(g[:, 2:]),
+            jnp.maximum(local, 0), matched, pm_j,
+        )
+        idx = np.asarray(tb.anchor_mask)
+        got = (np.asarray(pos9)[idx], np.asarray(neg9)[idx], np.asarray(tor9)[idx])
+        for name, gv, rv in zip(("pos", "neg", "torien"), got, ref):
+            np.testing.assert_array_equal(gv, np.asarray(rv),
+                                          err_msg=f"scale{s} {name}")
+        painted_any = painted_any or np.asarray(ref[0]).sum() > 0
+    assert painted_any  # the data must actually exercise painting
+
+
 @pytest.mark.parametrize("seed", [100, 101, 102, 103])
 def test_targets_fuzz_chunk_sizes(seed):
     """Edge chunk sizes (1 and 16) against the oracle on random instances."""
