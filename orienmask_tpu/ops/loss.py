@@ -179,7 +179,7 @@ class OrienMaskYOLOMultiScaleLoss:
                             "recall50", "recall75", "orien_pos_acc", "orien_neg_acc"),
                  center_region=0.6, valid_region=0.7, label_smooth=False,
                  obj_ignore_threshold=0.5, weight=None, scales_weight=None,
-                 target_chunk=8):
+                 target_chunk=8, painter_impl="auto"):
         assert len(grid_size) == len(anchor_mask) == len(scales_id)
         self.num_scales = len(scales_id)
         self.loss_suffix = list(loss_id) + [loss_sum_id]
@@ -223,11 +223,25 @@ class OrienMaskYOLOMultiScaleLoss:
             image_size, anchors, anchor_mask, grid_size,
             center_region, valid_region, chunk=target_chunk,
         )
+        # 'pallas' = fused TPU kernel (ops/pallas_paint.py), 'xla' = chunked
+        # while_loop (ops/targets.py). 'auto' = pallas on a single-device TPU
+        # backend; multi-device meshes keep the XLA path until the kernel is
+        # shard_map-integrated (GSPMD has no partitioning rule for it, so it
+        # would silently all-gather the batch).
+        if painter_impl == "auto":
+            try:
+                devs = jax.devices()
+                plat = devs[0].platform.lower()
+            except Exception:
+                devs, plat = [], "cpu"
+            is_tpu = "tpu" in plat or plat == "axon"
+            painter_impl = "pallas" if (is_tpu and len(devs) == 1) else "xla"
+        self.painter_impl = painter_impl
 
-    def _paint_shared(self, gt_bbox, gt_valid, gt_mask):
-        """One sample: global anchor per GT from the per-scale matchers (so the
-        painted set agrees exactly with each scale's bbox-side assignment),
-        then a single painting pass over all anchors."""
+    def _global_anchor(self, gt_bbox, gt_valid):
+        """One sample: global anchor per GT from the per-scale matchers (so
+        the painted set agrees exactly with each scale's bbox-side
+        assignment); -1 where unmatched."""
         ga = jnp.full(gt_bbox.shape[:1], -1, jnp.int32)
         for sl in self.scale_losses:
             tb = sl.target_builder
@@ -235,10 +249,23 @@ class OrienMaskYOLOMultiScaleLoss:
             cand = jnp.asarray(np.asarray(tb.anchor_mask, np.int32))[
                 jnp.maximum(local, 0)]
             ga = jnp.where(matched & (ga < 0), cand, ga)
-        return self.painter(gt_bbox, ga, ga >= 0, gt_mask)
+        return ga
+
+    def _paint_shared_batch(self, gt_bbox, gt_valid, gt_mask):
+        ga = jax.vmap(self._global_anchor)(gt_bbox, gt_valid)
+        matched = ga >= 0
+        if self.painter_impl == "pallas":
+            from .pallas_paint import paint_orientation
+
+            geom, n_last = self.painter.kernel_inputs(gt_bbox, ga, matched)
+            return paint_orientation(
+                geom, n_last, gt_mask, self.painter.pixel_anchors,
+                (self.painter.image_h, self.painter.image_w),
+            )
+        return jax.vmap(self.painter)(gt_bbox, ga, matched, gt_mask)
 
     def __call__(self, predict, target, training=True):
-        pos9, neg9, tor9 = jax.lax.stop_gradient(jax.vmap(self._paint_shared)(
+        pos9, neg9, tor9 = jax.lax.stop_gradient(self._paint_shared_batch(
             target["bbox"], target["valid"], target["mask"]
         ))
 

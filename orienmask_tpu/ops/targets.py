@@ -342,22 +342,48 @@ class OrientationPainter:
                 self.anchor_grid_wh[a] = grid_wh
                 self.anchor_scale_wh[a] = image_wh / grid_wh
 
+    def _geometry(self, gt_bbox, global_anchor):
+        """Per-GT pixel geometry: centers, center-region extent, ROI bounds.
+        Identical op sequence to TargetBuilder (ULP-exact equality).
+        Works on (..., N, ·) batched or unbatched inputs."""
+        ga = jnp.maximum(global_anchor, 0)
+        grid_wh = jnp.asarray(self.anchor_grid_wh)[ga]    # (..., N, 2) [nW, nH]
+        swh = jnp.asarray(self.anchor_scale_wh)[ga]       # (..., N, 2) [sw, sh]
+        g = gt_bbox * jnp.concatenate([grid_wh, grid_wh], axis=-1)
+        gxy, gwh = g[..., 0:2], g[..., 2:4]
+        centers = gxy * swh
+        vwh = (gwh * self.valid_region + 0.5) * swh
+        cwh = vwh / self.valid_region * self.center_region
+        w, h = self.image_w, self.image_h
+        x1 = jnp.round(jnp.clip(centers[..., 0] - vwh[..., 0], 0, w - 1))
+        x2 = jnp.round(jnp.clip(centers[..., 0] + vwh[..., 0], 0, w - 1)) + 1
+        y1 = jnp.round(jnp.clip(centers[..., 1] - vwh[..., 1], 0, h - 1))
+        y2 = jnp.round(jnp.clip(centers[..., 1] + vwh[..., 1], 0, h - 1)) + 1
+        return centers, cwh, jnp.stack([x1, x2, y1, y2], axis=-1)
+
+    def kernel_inputs(self, gt_bbox, global_anchor, matched):
+        """Batched geometry for the fused Pallas kernel
+        (ops/pallas_paint.py::paint_orientation): (B, N, 10) geom rows
+        [cx, cy, cwx, cwy, x1, x2, y1, y2, anchor, active] + (B,) trip counts."""
+        centers, cwh, bounds = self._geometry(gt_bbox, global_anchor)
+        geom = jnp.concatenate([
+            centers, cwh, bounds,
+            jnp.maximum(global_anchor, 0).astype(jnp.float32)[..., None],
+            matched.astype(jnp.float32)[..., None],
+        ], axis=-1)
+        n = gt_bbox.shape[-2]
+        n_last = jnp.max(
+            jnp.where(matched, jnp.arange(1, n + 1, dtype=jnp.int32), 0), axis=-1
+        )
+        return geom, n_last
+
     def __call__(self, gt_bbox, global_anchor, matched, gt_mask):
         """Args (one sample): gt_bbox (N, 4) normalized cxcywh; global_anchor
         (N,) int32 in [0, A_all) (anything for unmatched rows); matched (N,)
         bool; gt_mask (N, H, W) bool.
         Returns orien_pos/orien_neg (A_all, H, W), torien (A_all, H, W, 2)."""
+        centers, cwh, bounds = self._geometry(gt_bbox, global_anchor)
         ga = jnp.maximum(global_anchor, 0)
-        grid_wh = jnp.asarray(self.anchor_grid_wh)[ga]    # (N, 2) [nW, nH]
-        swh = jnp.asarray(self.anchor_scale_wh)[ga]       # (N, 2) [sw, sh]
-
-        # identical op sequence to TargetBuilder (ULP-exact equality)
-        g = gt_bbox * jnp.concatenate([grid_wh, grid_wh], axis=-1)
-        gxy, gwh = g[:, 0:2], g[:, 2:4]
-        centers = gxy * swh
-        vwh = (gwh * self.valid_region + 0.5) * swh
-        cwh = vwh / self.valid_region * self.center_region
-        bounds = _paint_bounds(centers, vwh, self.image_h, self.image_w)
         a_onehot = (jnp.arange(self.num_anchors)[None, :] == ga[:, None]) \
             & matched[:, None]
         return _paint_chunk_loop(

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from orienmask_tpu.ops.targets import TargetBuilder
@@ -168,3 +169,55 @@ def test_targets_fuzz_chunk_sizes(seed):
         for g, r in zip(got, ref):
             np.testing.assert_allclose(np.asarray(g, np.float64), r,
                                        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_pallas_paint_matches_xla_painter(seed):
+    """Fused Pallas painting kernel (interpret mode) vs the XLA chunked
+    painter, batched, GT spread over all scales (bg-sum accumulation order
+    differs, hence allclose rather than exact)."""
+    from orienmask_tpu.ops.pallas_paint import paint_orientation
+    from orienmask_tpu.ops.targets import OrientationPainter
+
+    grids = [(2, 2), (4, 4), (8, 8)]
+    builders = [
+        TargetBuilder(grids[s], IMAGE, ANCHORS, MASKS[s], NUM_CLASSES,
+                      center_region=0.6, valid_region=0.6, chunk=4)
+        for s in range(3)
+    ]
+    painter = OrientationPainter(IMAGE, ANCHORS, MASKS, grids,
+                                 center_region=0.6, valid_region=0.6, chunk=4)
+
+    rng = np.random.default_rng(seed)
+    B = 3
+    bbox_b, mask_b, valid_b = [], [], []
+    for bi in range(B):
+        n_inst = int(rng.integers(0, 12))
+        bbox, cls, masks = _random_gt(rng, n_inst)
+        pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+        bbox_b.append(pb); mask_b.append(pm); valid_b.append(pv)
+    bbox_b = jnp.asarray(np.stack(bbox_b))
+    mask_b = jnp.asarray(np.stack(mask_b))
+    valid_b = jnp.asarray(np.stack(valid_b))
+
+    def global_anchor(bb, vv):
+        ga = jnp.full((N_MAX,), -1, jnp.int32)
+        for tb in builders:
+            local, matched = tb.match(bb, vv)
+            cand = jnp.asarray(np.asarray(tb.anchor_mask, np.int32))[
+                jnp.maximum(local, 0)]
+            ga = jnp.where(matched & (ga < 0), cand, ga)
+        return ga
+
+    ga = jax.vmap(global_anchor)(bbox_b, valid_b)
+    matched = ga >= 0
+
+    ref = jax.vmap(painter)(bbox_b, ga, matched, mask_b)
+    geom, n_last = painter.kernel_inputs(bbox_b, ga, matched)
+    got = paint_orientation(geom, n_last, mask_b, painter.pixel_anchors,
+                            IMAGE, block_h=16, interpret=True)
+
+    assert float(np.asarray(ref[0]).sum()) > 0  # data must exercise painting
+    for name, g, r in zip(("pos", "neg", "torien"), got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
