@@ -6,6 +6,8 @@ floats at the logging boundary.  BCE terms are computed from logits (numerically
 stable softplus form — identical in exact math to the reference's sigmoid+BCELoss).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -179,7 +181,7 @@ class OrienMaskYOLOMultiScaleLoss:
                             "recall50", "recall75", "orien_pos_acc", "orien_neg_acc"),
                  center_region=0.6, valid_region=0.7, label_smooth=False,
                  obj_ignore_threshold=0.5, weight=None, scales_weight=None,
-                 target_chunk=8, painter_impl="auto"):
+                 target_chunk=8, painter_impl="auto", painter_interpret=False):
         assert len(grid_size) == len(anchor_mask) == len(scales_id)
         self.num_scales = len(scales_id)
         self.loss_suffix = list(loss_id) + [loss_sum_id]
@@ -224,19 +226,27 @@ class OrienMaskYOLOMultiScaleLoss:
             center_region, valid_region, chunk=target_chunk,
         )
         # 'pallas' = fused TPU kernel (ops/pallas_paint.py), 'xla' = chunked
-        # while_loop (ops/targets.py). 'auto' = pallas on a single-device TPU
-        # backend; multi-device meshes keep the XLA path until the kernel is
-        # shard_map-integrated (GSPMD has no partitioning rule for it, so it
-        # would silently all-gather the batch).
+        # while_loop (ops/targets.py). 'auto' = pallas on TPU backends.
+        # Under a multi-device mesh the kernel must run through shard_map
+        # (GSPMD has no partitioning rule for pallas_call and would replicate
+        # it) — make_train_step/make_eval_step call set_paint_mesh for that.
         if painter_impl == "auto":
             try:
-                devs = jax.devices()
-                plat = devs[0].platform.lower()
+                plat = jax.devices()[0].platform.lower()
             except Exception:
-                devs, plat = [], "cpu"
-            is_tpu = "tpu" in plat or plat == "axon"
-            painter_impl = "pallas" if (is_tpu and len(devs) == 1) else "xla"
+                plat = "cpu"
+            painter_impl = "pallas" if ("tpu" in plat or plat == "axon") else "xla"
         self.painter_impl = painter_impl
+        self.painter_interpret = painter_interpret  # tests: kernel on CPU
+        self.paint_mesh = None
+
+    def set_paint_mesh(self, mesh, axis=None):
+        """Tell the painter about the batch-sharded mesh so the Pallas kernel
+        runs per-shard via shard_map (each device paints its local batch)."""
+        from ..parallel.mesh import DATA_AXIS
+
+        self.paint_mesh = mesh
+        self.paint_axis = axis or DATA_AXIS
 
     def _global_anchor(self, gt_bbox, gt_valid):
         """One sample: global anchor per GT from the per-scale matchers (so
@@ -258,10 +268,23 @@ class OrienMaskYOLOMultiScaleLoss:
             from .pallas_paint import paint_orientation
 
             geom, n_last = self.painter.kernel_inputs(gt_bbox, ga, matched)
-            return paint_orientation(
-                geom, n_last, gt_mask, self.painter.pixel_anchors,
-                (self.painter.image_h, self.painter.image_w),
+            paint = functools.partial(
+                paint_orientation,
+                pixel_anchors=self.painter.pixel_anchors,
+                image_size=(self.painter.image_h, self.painter.image_w),
+                interpret=self.painter_interpret,
             )
+            if self.paint_mesh is not None and self.paint_mesh.size > 1:
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(self.paint_axis)
+                # check_vma=False: pallas_call out_shapes carry no vma info
+                paint = jax.shard_map(
+                    paint, mesh=self.paint_mesh,
+                    in_specs=(spec, spec, spec), out_specs=(spec, spec, spec),
+                    check_vma=False,
+                )
+            return paint(geom, n_last, gt_mask)
         return jax.vmap(self.painter)(gt_bbox, ga, matched, gt_mask)
 
     def __call__(self, predict, target, training=True):

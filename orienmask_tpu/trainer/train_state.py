@@ -38,6 +38,9 @@ def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
     accumulating.
     """
 
+    if hasattr(loss_fn, "set_paint_mesh"):
+        loss_fn.set_paint_mesh(mesh)  # Pallas painter runs per-shard (shard_map)
+
     def loss_of(params, stats, batch):
         from ..models.layers import default_ctx
 
@@ -111,6 +114,9 @@ def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
 
 def make_eval_step(model, loss_fn, mesh, image_w, compute_dtype=jnp.float32):
     """Eval-mode forward + loss metrics; returns (model outputs, loss log, metric log)."""
+
+    if hasattr(loss_fn, "set_paint_mesh"):
+        loss_fn.set_paint_mesh(mesh)
 
     def eval_step(params, stats, batch):
         from ..models.layers import default_ctx

@@ -144,3 +144,47 @@ def test_shared_painting_equals_standalone():
         for k, v in s_metrics.items():
             np.testing.assert_allclose(float(shared_metrics[k][0]), float(v[0]),
                                        rtol=1e-6, err_msg=k)
+
+
+def test_pallas_painter_loss_wiring_sharded():
+    """Full multi-scale loss with painter_impl='pallas' (interpret-mode
+    kernel) under the 8-device mesh — the exact wiring make_train_step uses
+    on multi-chip TPU — must equal the XLA-painter loss."""
+    import jax
+
+    from orienmask_tpu.parallel.mesh import data_mesh
+
+    rng = np.random.default_rng(11)
+    B = 8
+    samples = [_pad_gt(*_random_gt(rng, int(rng.integers(1, 8)))) for _ in range(B)]
+    target = {
+        "bbox": jnp.asarray(np.stack([s[0] for s in samples])),
+        "cls": jnp.asarray(np.stack([s[1] for s in samples])),
+        "mask": jnp.asarray(np.stack([s[2] for s in samples])),
+        "valid": jnp.asarray(np.stack([s[3] for s in samples])),
+    }
+    kw = dict(
+        grid_size=[list(g) for g in GRIDS], image_size=list(IMAGE),
+        anchors=ANCHORS, anchor_mask=MASKS, num_classes=NUM_CLASSES,
+        center_region=0.6, valid_region=0.6, label_smooth=False,
+        obj_ignore_threshold=0.6, weight=[1, 1, 1, 1, 1, 20, 20],
+        scales_weight=[1, 1, 1], target_chunk=4,
+    )
+    loss_pallas = OrienMaskYOLOMultiScaleLoss(
+        painter_impl="pallas", painter_interpret=True, **kw)
+    loss_pallas.set_paint_mesh(data_mesh())
+    loss_xla = OrienMaskYOLOMultiScaleLoss(painter_impl="xla", **kw)
+
+    predict = []
+    for s in range(3):
+        nh, nw = GRIDS[s]
+        b = rng.standard_normal((B, nh, nw, 3 * (5 + NUM_CLASSES))).astype(np.float32)
+        o = rng.standard_normal((B, IMAGE[0] // 4, IMAGE[1] // 4, 6)).astype(np.float32)
+        predict.append((jnp.asarray(b), jnp.asarray(o)))
+
+    sum_p, log_p, _ = loss_pallas(predict, target, training=True)
+    sum_x, log_x, _ = loss_xla(predict, target, training=True)
+    np.testing.assert_allclose(float(sum_p), float(sum_x), rtol=1e-5)
+    for k in log_x:
+        np.testing.assert_allclose(float(log_p[k]), float(log_x[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

@@ -221,3 +221,66 @@ def test_pallas_paint_matches_xla_painter(seed):
     for name, g, r in zip(("pos", "neg", "torien"), got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_pallas_paint_under_shard_map():
+    """The kernel must run per-shard over a multi-device batch mesh (the path
+    make_train_step wires up on multi-chip TPU) — validated with the
+    interpret-mode kernel on the 8-device CPU mesh."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from orienmask_tpu.ops.pallas_paint import paint_orientation
+    from orienmask_tpu.ops.targets import OrientationPainter
+    from orienmask_tpu.parallel.mesh import DATA_AXIS, data_mesh, shard_batch
+
+    grids = [(2, 2), (4, 4), (8, 8)]
+    builders = [
+        TargetBuilder(grids[s], IMAGE, ANCHORS, MASKS[s], NUM_CLASSES,
+                      center_region=0.6, valid_region=0.6, chunk=4)
+        for s in range(3)
+    ]
+    painter = OrientationPainter(IMAGE, ANCHORS, MASKS, grids,
+                                 center_region=0.6, valid_region=0.6, chunk=4)
+    rng = np.random.default_rng(5)
+    B = 8
+    bbox_b, mask_b, valid_b = [], [], []
+    for _ in range(B):
+        bbox, cls, masks = _random_gt(rng, int(rng.integers(1, 8)))
+        pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+        bbox_b.append(pb); mask_b.append(pm); valid_b.append(pv)
+    bbox_b, mask_b, valid_b = (jnp.asarray(np.stack(x))
+                               for x in (bbox_b, mask_b, valid_b))
+
+    def global_anchor(bb, vv):
+        ga = jnp.full((N_MAX,), -1, jnp.int32)
+        for tb in builders:
+            local, matched = tb.match(bb, vv)
+            cand = jnp.asarray(np.asarray(tb.anchor_mask, np.int32))[
+                jnp.maximum(local, 0)]
+            ga = jnp.where(matched & (ga < 0), cand, ga)
+        return ga
+
+    ga = jax.vmap(global_anchor)(bbox_b, valid_b)
+    matched = ga >= 0
+    geom, n_last = painter.kernel_inputs(bbox_b, ga, matched)
+    ref = jax.vmap(painter)(bbox_b, ga, matched, mask_b)
+
+    mesh = data_mesh()
+    assert mesh.size == 8
+    paint = functools.partial(
+        paint_orientation, pixel_anchors=painter.pixel_anchors,
+        image_size=IMAGE, block_h=16, interpret=True,
+    )
+    spec = P(DATA_AXIS)
+    sharded_paint = jax.shard_map(paint, mesh=mesh,
+                                  in_specs=(spec, spec, spec),
+                                  out_specs=(spec, spec, spec),
+                                  check_vma=False)
+    sb = shard_batch({"geom": geom, "n_last": n_last, "mask": mask_b}, mesh)
+    got = sharded_paint(sb["geom"], sb["n_last"], sb["mask"])
+
+    for name, g, r in zip(("pos", "neg", "torien"), got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)

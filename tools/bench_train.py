@@ -11,11 +11,16 @@ Usage:
 Measured on one v5e @544x544 (2026-08-16): f32 B=8 93ms (86 img/s);
 bf16 B=8 71ms (112 img/s), B=16 148ms (108 img/s), B=32 303ms (106 img/s)
 -- throughput saturates at B=8, so the shipped config's per-chip batch is
-already at the ceiling.
+already at the ceiling. With the fused Pallas painting kernel
+(ops/pallas_paint.py): bf16 B=8 64.5ms (124 img/s).
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +59,8 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     args = ap.parse_args()
 
+    print(f"[bench_train] batch={args.batch} dtype={args.dtype} "
+          f"size={args.size}", flush=True)  # early line for tpu_run.sh watchdog
     grid = [[args.size // 32] * 2, [args.size // 16] * 2, [args.size // 8] * 2]
     model = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
     variables = model.init_variables(jax.random.PRNGKey(0))
