@@ -144,6 +144,15 @@ def paint_orientation(geom, n_last, gt_mask, pixel_anchors, image_size,
     h, w = image_size
     b, n = geom.shape[0], geom.shape[1]
     n_anchors = len(pixel_anchors)
+    # VMEM budget: mask block (n rows u8) + 4 double-buffered f32 outputs +
+    # 2 f32 scratch canvases, all over (block_h, lanes-padded w). Shrink the
+    # row block until it fits (~12MB leaves headroom of the ~16MB/core VMEM).
+    w_pad = -(-w // 128) * 128
+    while block_h > 8:
+        est = block_h * w_pad * (2 * n + (4 * 2 + 2) * n_anchors * 4)
+        if est <= 12 * 1024 * 1024 and h % block_h == 0:
+            break
+        block_h //= 2
     assert h % block_h == 0, (h, block_h)
     half = [(float(pa[0]) / 2.0, float(pa[1]) / 2.0) for pa in
             np.asarray(pixel_anchors, np.float32)]
