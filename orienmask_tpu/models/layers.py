@@ -109,13 +109,35 @@ class ConvBNLeaky(Module):
 
     def apply(self, params, stats, x, ctx):
         y = conv2d(x, params["kernel"], self.stride, self.padding, ctx["dtype"])
-        y = y.astype(jnp.float32)  # BN statistics/affine in f32
+        return self.bn_act(y, params, stats, ctx)
+
+    def bn_act(self, y, params, stats, ctx, phase_groups=1):
+        """BatchNorm + activation on a precomputed conv output.
+
+        BN statistics and affine coefficients are f32; the activation tensor
+        itself stays in the compute dtype.  The f32 converts below fuse into
+        the reductions, so under bf16 the (B,H,W,C) activation never
+        round-trips through an f32 HBM copy (2x bandwidth on every BN in
+        forward AND backward).  Under f32 compute this is numerically
+        identical to an all-f32 BN.
+
+        ``phase_groups=g``: y's channel dim holds g space-to-depth phases of
+        the logical (cout,)-channel tensor (see models/darknet.py stem).
+        Statistics reduce over the phase axis as well, so the running stats
+        and normalization exactly match the master full-resolution BatchNorm.
+        """
+        g = phase_groups
+        yg = y.reshape(y.shape[:-1] + (g, self.cout)) if g > 1 else y
+        axes = tuple(range(yg.ndim - 1))
         if ctx["train"]:
             # Global (cross-device under sharded jit) batch statistics.
-            mean = jnp.mean(y, axis=(0, 1, 2))
-            mean_sq = jnp.mean(jnp.square(y), axis=(0, 1, 2))
+            yf = yg.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=axes)
+            mean_sq = jnp.mean(jnp.square(yf), axis=axes)
             var = mean_sq - jnp.square(mean)  # biased, used for normalization
-            count = y.shape[0] * y.shape[1] * y.shape[2]
+            count = 1
+            for a in axes:
+                count *= yg.shape[a]
             unbiased = var * (count / max(count - 1, 1))
             m = BN_MOMENTUM
             new_stats = {
@@ -126,10 +148,11 @@ class ConvBNLeaky(Module):
             mean, var = stats["mean"], stats["var"]
             new_stats = stats
         inv = params["scale"] * jax.lax.rsqrt(var + BN_EPS)
-        y = y * inv + (params["bias"] - mean * inv)
+        shift = params["bias"] - mean * inv
+        yg = yg * inv.astype(yg.dtype) + shift.astype(yg.dtype)
         if self.activation == "leaky":
-            y = leaky_relu(y)
-        return y, new_stats
+            yg = leaky_relu(yg)
+        return yg.reshape(y.shape), new_stats
 
     def fold(self, params, stats):
         """Fold BN into the conv: returns Conv-style params for apply_folded."""

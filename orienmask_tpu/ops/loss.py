@@ -295,8 +295,14 @@ class OrienMaskYOLOMultiScaleLoss:
         loss_list, loss_log, metric_log = [], {}, {}
         for i in range(self.num_scales):
             idx = np.asarray(self.scale_losses[i].target_builder.anchor_mask)
-            orien_i = (jnp.take(pos9, idx, axis=1), jnp.take(neg9, idx, axis=1),
-                       jnp.take(tor9, idx, axis=1))
+            if np.array_equal(idx, np.arange(idx[0], idx[0] + idx.size)):
+                # anchor masks are contiguous runs ([6,7,8],[3,4,5],[0,1,2]):
+                # a static slice beats the gather jnp.take would emit.
+                lo, hi = int(idx[0]), int(idx[0] + idx.size)
+                sel = lambda a: jax.lax.slice_in_dim(a, lo, hi, axis=1)
+            else:
+                sel = lambda a: jnp.take(a, idx, axis=1)
+            orien_i = (sel(pos9), sel(neg9), sel(tor9))
             s_loss, s_loss_log, s_metric_log = self.scale_losses[i](
                 predict[i], target, training, orien=orien_i
             )

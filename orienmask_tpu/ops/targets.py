@@ -273,10 +273,19 @@ class TargetBuilder:
         txy_k = gxy - jnp.floor(gxy)
         twh_k = jnp.log(gwh_safe / jnp.asarray(self.grid_anchors)[ma])
 
-        bbox_pos_scale = (pos_scale_k[wi] * pos_f).reshape(nA, nH, nW)
-        txy = (txy_k[wi] * pos_f[:, None]).reshape(nA, nH, nW, 2)
-        twh = (twh_k[wi] * pos_f[:, None]).reshape(nA, nH, nW, 2)
-        tiou = (iou_pg[jnp.arange(ncell), wi] * pos_f).reshape(nA, nH, nW)
+        # One (ncell, 5) gather from a concatenated per-GT table instead of
+        # three separate gathers (TPU gathers are scalar-unit work; fewer,
+        # wider rows amortize it).
+        table = jnp.concatenate(
+            [pos_scale_k[:, None], txy_k, twh_k], axis=1)  # (n, 5)
+        picked = table[wi] * pos_f[:, None]  # (ncell, 5)
+        bbox_pos_scale = picked[:, 0].reshape(nA, nH, nW)
+        txy = picked[:, 1:3].reshape(nA, nH, nW, 2)
+        twh = picked[:, 3:5].reshape(nA, nH, nW, 2)
+        # Diagonal gather iou_pg[arange(ncell), wi] as an exact one-hot masked
+        # reduction (the select fuses into the sum; W rows have <=1 nonzero).
+        onehot_w = (winner[:, None] == karange[None, :])  # (ncell, n)
+        tiou = jnp.where(onehot_w, iou_pg, 0.0).sum(axis=1).reshape(nA, nH, nW)
 
         # multi-hot tcls (reference quirk: every matched instance sets its class bit)
         cls_idx = jnp.where(matched, cell * c + gt_cls.astype(jnp.int32), ncell * c)

@@ -131,3 +131,53 @@ def test_base_variant_matches_torch():
             ref = tout[s][j].numpy().transpose(0, 2, 3, 1)
             got = np.asarray(jout[s][j])
             np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_s2d_stem_matches_standard_path():
+    """The space-to-depth phase stem (models/darknet.py module docstring) is an
+    exact reformulation: eval/train/folded outputs and BN stats match the
+    standard per-layer path up to fp reassociation."""
+    from orienmask_tpu.models.darknet import DarkNet53
+    from orienmask_tpu.models.layers import default_ctx
+
+    m_std = DarkNet53(s2d_stem=False)
+    m_s2d = DarkNet53(s2d_stem=True)
+    params, stats = m_std.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 32, 48, 3)).astype(np.float32))
+
+    @jax.jit
+    def run(params, stats, x):
+        ev = default_ctx(train=False)
+        tr = default_ctx(train=True)
+        a, _ = m_std.apply(params, stats, x, ev)
+        b, _ = m_s2d.apply(params, stats, x, ev)
+        at, ns_a = m_std.apply(params, stats, x, tr)
+        bt, ns_b = m_s2d.apply(params, stats, x, tr)
+        folded = m_std.fold(params, stats)
+        fa = m_std.apply_folded(folded, x, ev)
+        fb = m_s2d.apply_folded(folded, x, ev)
+        return a, b, at, bt, ns_a, ns_b, fa, fb
+
+    a, b, at, bt, ns_a, ns_b, fa, fb = run(params, stats, x)
+    for ta, tb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                   rtol=2e-3, atol=2e-3)
+    for ta, tb in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                   rtol=2e-3, atol=2e-3)
+    # train-mode BN running stats agree (stem layers reduce over phases)
+    for la, lb in zip(jax.tree_util.tree_leaves(ns_a),
+                      jax.tree_util.tree_leaves(ns_b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=5e-3, atol=5e-3)
+    # gradients flow to every master stem kernel through the phase derivation
+    def loss(p):
+        (o32, *_), _ = m_s2d.apply(p, stats, x, default_ctx(train=True))
+        return jnp.sum(o32 ** 2)
+
+    g = jax.grad(loss)(params)
+    for gk in [g["conv1"]["kernel"], g["conv2"][0]["kernel"],
+               g["conv2"][1][0]["kernel"], g["conv2"][1][1]["kernel"],
+               g["conv3"][0]["kernel"]]:
+        assert float(jnp.linalg.norm(gk)) > 0.0

@@ -12,7 +12,9 @@ Measured on one v5e @544x544 (2026-08-16): f32 B=8 93ms (86 img/s);
 bf16 B=8 71ms (112 img/s), B=16 148ms (108 img/s), B=32 303ms (106 img/s)
 -- throughput saturates at B=8, so the shipped config's per-chip batch is
 already at the ceiling. With the fused Pallas painting kernel
-(ops/pallas_paint.py): bf16 B=8 64.5ms (124 img/s).
+(ops/pallas_paint.py): bf16 B=8 64.5ms (124 img/s).  With dtype-uniform
+BatchNorm + gather-free target tables + the space-to-depth stem
+(models/darknet.py): bf16 B=8 49.4ms (161.9 img/s).
 """
 
 import argparse

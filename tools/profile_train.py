@@ -1,0 +1,123 @@
+"""Capture a jax.profiler trace of the train step and print a per-op time
+breakdown (aggregated by HLO op-name prefix) from the TensorBoard trace.
+
+Usage:
+    python tools/profile_train.py --batch 8 --dtype bfloat16 [--size 544]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_step(args):
+    from orienmask_tpu.config.base import ANCHORS_MASK, ANCHORS_YOLOV4
+    from orienmask_tpu.models import OrienMaskYOLOFPNPlus
+    from orienmask_tpu.ops.loss import OrienMaskYOLOMultiScaleLoss
+    from orienmask_tpu.optim import SGD
+    from orienmask_tpu.parallel.mesh import data_mesh, shard_batch
+    from orienmask_tpu.trainer.train_state import make_train_step
+    from tools.bench_train import synthetic_batch
+
+    grid = [[args.size // 32] * 2, [args.size // 16] * 2, [args.size // 8] * 2]
+    model = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    loss = OrienMaskYOLOMultiScaleLoss(
+        grid_size=grid, image_size=[args.size, args.size],
+        anchors=ANCHORS_YOLOV4, anchor_mask=ANCHORS_MASK, num_classes=80,
+        obj_ignore_threshold=0.7, weight=[1, 1, 1, 1, 1, 20, 20],
+        scales_weight=[1, 1, 1], target_chunk=8,
+    )
+    optimizer = SGD(lr=1e-3, momentum=0.9, weight_decay=5e-4)
+    mesh = data_mesh()
+    train_step, init_state = make_train_step(
+        model, loss, optimizer, mesh,
+        image_w=args.size, compute_dtype=jnp.dtype(args.dtype),
+    )
+    state = init_state(variables)
+    batch = shard_batch(synthetic_batch(args.batch, args.size), mesh)
+    lr = jnp.float32(1e-3)
+    done = jnp.asarray(True)
+
+    state, logs = train_step(state, batch, lr, done)
+    jax.block_until_ready(logs["loss"])
+    print("[profile] compiled; tracing", flush=True)
+
+    trace_dir = args.out
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.iters):
+            state, logs = train_step(state, batch, lr, done)
+        jax.block_until_ready(logs["loss"])
+    return trace_dir
+
+
+def analyze(trace_dir, iters, top=40):
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        print("no trace found under", trace_dir)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+
+    # find TPU device pids (process names containing 'TPU' / 'Device')
+    pid_name = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_name.items()
+                if ("TPU" in n or "Device" in n) and "Host" not in n}
+
+    agg = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        dur = e.get("dur", 0)  # microseconds
+        # only leaf-ish op events: skip the big step wrappers
+        if name.startswith(("jit_", "pjit_")) or name in ("XLA Modules",):
+            continue
+        args_ = e.get("args") or {}
+        key = args_.get("long_name") or name
+        # collapse fusion instance suffixes: fusion.123 -> fusion family by
+        # the op category if available
+        cat = args_.get("tf_op") or name
+        agg[name.split(".")[0] + "|" + name] += dur
+        total += dur
+
+    per_iter = total / iters / 1000.0
+    print(f"\ndevice op time total: {total/1000:.1f} ms over {iters} iters "
+          f"-> {per_iter:.2f} ms/step (sum of op durations)")
+    print(f"{'ms/step':>9}  {'%':>5}  op")
+    items = sorted(agg.items(), key=lambda kv: -kv[1])
+    for k, v in items[:top]:
+        print(f"{v/iters/1000:9.3f}  {100*v/total:5.1f}  {k.split('|',1)[1][:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=544)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/om_trace")
+    ap.add_argument("--analyze-only", action="store_true")
+    args = ap.parse_args()
+    if not args.analyze_only:
+        run_step(args)
+    analyze(args.out, args.iters)
+
+
+if __name__ == "__main__":
+    main()
