@@ -34,15 +34,6 @@ import jax.numpy as jnp
 from .layers import ConvBNLeaky, Module, Sequential, conv2d, leaky_relu
 
 
-def space_to_depth2(x):
-    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel layout (row phase a, col
-    phase b, c) i.e. out channel = (a*2 + b)*C + c."""
-    b, h, w, c = x.shape
-    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(b, h // 2, w // 2, 4 * c)
-
-
 def _phase_kernel_s1(k):
     """Master (3,3,cin,cout) stride-1 kernel -> (3,3,4cin,4cout) phase kernel
     (phases in AND out).
@@ -120,6 +111,34 @@ def _phase_kernel_s2_phase_out(k):
     ]).reshape(3, 3, 2, 2, 2, 2, cin, cout)
     return blocks.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(
         3, 3, 4 * cin, 4 * cout)
+
+
+def _phase_kernel_im(k):
+    """Master (3,3,cin,cout) stride-1 kernel -> (4,4,cin,4cout) stride-2 conv
+    applied DIRECTLY to the full-res input, emitting half-res phases
+    (output channel (p*2+q)*cout + o); conv padding ((1,1),(1,1)).
+
+    This folds the input space-to-depth transpose into the conv's own im2col:
+    out position I, tap row si reads full-res row 2I + si - 1 = 2I + p + u - 1
+    => u = si - p (tap zero otherwise).  Identical padded-MXU cost to the
+    12->128 phase conv (both contractions pad to 128 lanes), but no explicit
+    S2D layout op on the largest tensor in the network.
+    """
+    cin, cout = k.shape[2], k.shape[3]
+    z = jnp.zeros_like(k[0, 0])
+
+    def tap(u, v):
+        return k[u, v] if 0 <= u <= 2 and 0 <= v <= 2 else z
+
+    blocks = jnp.stack([
+        jnp.stack([
+            tap(si - p, ti - q)
+            for p in range(2) for q in range(2)
+        ]).reshape(2, 2, cin, cout)
+        for si in range(4) for ti in range(4)
+    ]).reshape(4, 4, 2, 2, cin, cout)
+    # (si, ti, p, q, c, o) -> (si, ti, c, p, q, o)
+    return blocks.transpose(0, 1, 4, 2, 3, 5).reshape(4, 4, cin, 4 * cout)
 
 
 def _phase_kernel_1x1(k):
@@ -223,9 +242,11 @@ class DarkNet53(Module):
         dtype = bctx["dtype"]
         new_stats = {}
         c2first = self.conv2.modules[0]
-        xp = space_to_depth2(x)
-        k1p = _phase_kernel_s1(params["conv1"]["kernel"])
-        y = conv2d(xp, k1p, stride=1, padding=1, dtype=dtype)
+        k1p = _phase_kernel_im(params["conv1"]["kernel"])
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), k1p.astype(dtype), window_strides=(2, 2),
+            padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         y, new_stats["conv1"] = self.conv1.bn_act(
             y, params["conv1"], stats["conv1"], bctx, phase_groups=4)
 
@@ -248,7 +269,7 @@ class DarkNet53(Module):
         kb1p = _phase_kernel_s1(p3x3["kernel"])
         h = conv2d(h, kb1p, stride=1, padding=1, dtype=dtype)
         h, ns_3x3 = sub[1].bn_act(h, p3x3, s3x3, bctx, phase_groups=4)
-        zp = zp + h  # space_to_depth2 is a permutation: residual commutes
+        zp = zp + h  # phase layout is a permutation: residual commutes
         new_stats["conv2"] = [ns2_first, [ns_1x1, ns_3x3]]
 
         # conv3[0] (3x3 s2 64->128) consumes phases, exits at true 136^2
@@ -289,9 +310,12 @@ class DarkNet53(Module):
         names = list(self.stage_names)
         if self._use_s2d(x):
             dtype = ctx["dtype"]
-            xp = space_to_depth2(x)
-            k1p = _phase_kernel_s1(folded["conv1"]["kernel"])
-            y = conv2d(xp, k1p, stride=1, padding=1, dtype=dtype)
+            k1p = _phase_kernel_im(folded["conv1"]["kernel"])
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), k1p.astype(dtype), window_strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
             y = leaky_relu(y + jnp.tile(folded["conv1"]["bias"], 4).astype(y.dtype))
             k2p = _phase_kernel_s2_phase_out(folded["conv2"][0]["kernel"])
             zp = self._conv_phase_down(y, k2p, dtype)
