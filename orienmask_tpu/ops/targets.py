@@ -73,7 +73,7 @@ def _paint_chunk_loop(centers, cwh, bounds, a_onehot, act, gt_mask,
 
     pk = jax.tree_util.tree_map(pad_to, {
         "centers": centers, "cwh": cwh, "bounds": bounds,
-        "aoh": a_onehot, "act": act, "mask": gt_mask,
+        "aoh": a_onehot, "act": act, "mask": gt_mask.astype(bool),
     })
     chunked = jax.tree_util.tree_map(
         lambda x: x.reshape(steps, chunk, *x.shape[1:]), pk

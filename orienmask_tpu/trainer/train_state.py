@@ -19,11 +19,15 @@ from ..parallel.mesh import batch_sharding, data_mesh, replicate_sharding
 
 
 def unpack_target(batch, image_w):
-    """Collated batch -> loss target dict; unpacks bit-packed GT masks on device."""
+    """Collated batch -> loss target dict; unpacks bit-packed GT masks on device.
+
+    The unpacked mask stays uint8 (0/1): the Pallas painting kernel consumes
+    u8 directly, and a bool round-trip would cost an extra 2x(B,N,H,W) HBM
+    pass per step.  Consumers needing bool coerce at their boundary
+    (ops/targets.py XLA painter)."""
     mask = batch["mask"]
     if mask.dtype == jnp.uint8 and mask.shape[-1] != image_w:
-        bits = jnp.unpackbits(mask, axis=-1, count=image_w)
-        mask = bits.astype(bool)
+        mask = jnp.unpackbits(mask, axis=-1, count=image_w)
     return {"bbox": batch["bbox"], "cls": batch["cls"], "mask": mask,
             "valid": batch["valid"]}
 
