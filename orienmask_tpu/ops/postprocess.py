@@ -200,6 +200,10 @@ class OrienMaskYOLOPostProcess:
         if self.pack_masks and self.use_pallas_masks:
             # TPU path: fused Pallas mask assembly writing bit-packed bytes,
             # per-detection anchor slice DMA'd via scalar prefetch.
+            # Static per-image unroll, deliberately: a single batched
+            # pallas_call (grid (B, K, rows)) measured ~8% SLOWER at B=16
+            # (43.3 vs 40.1 ms/batch) — separate calls let XLA overlap each
+            # image's kernel with the surrounding decode/pack ops.
             from .pallas_masks import assemble_masks_packed
 
             dets = jax.vmap(self._detect_image)(pred_bboxes)
@@ -207,7 +211,7 @@ class OrienMaskYOLOPostProcess:
             na = jnp.asarray(self.norm_anchors)
             b = field_t.shape[0]
             packed = []
-            for i in range(b):  # static batch unroll; bench path is B=1
+            for i in range(b):
                 anchor_i = dets["anchor"][i]
                 packed.append(assemble_masks_packed(
                     field_t[i], dets["bbox"][i, :, :4], na[anchor_i], anchor_i,

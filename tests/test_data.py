@@ -129,3 +129,19 @@ def test_dataloader_sharding(mini_coco):
     dl.set_epoch(1)
     b1 = next(iter(dl))
     assert [i["id"] for i in b0["info"]] != [i["id"] for i in b1["info"]]
+
+
+def test_voc_dataset(mini_coco):
+    """VOCDataset (reference data/dataset.py:103-115): 20-class table, same
+    sample format as COCODataset."""
+    from orienmask_tpu.data import VOCDataset
+
+    list_file, img_dir, anno_file = mini_coco
+    ds = VOCDataset(list_file, img_dir, anno_file, transform=_train_transform(),
+                    with_mask=True, with_info=True)
+    assert len(ds.CLASSES) == 20
+    assert ds.CAT2LABEL == list(range(1, 21))
+    assert len(ds) == 8
+    s = ds[3]
+    assert s["image"].shape == (96, 96, 3)
+    assert s["image"].dtype == np.float32
