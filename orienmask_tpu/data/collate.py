@@ -17,13 +17,20 @@ def naive_collate(batch, **kw):
     return batch
 
 
-def collate(batch, max_instances=100, pack_masks=False):
+def collate(batch, max_instances=100, pack_masks=False, image_transport="float32"):
     """List of transformed samples -> batch dict of stacked numpy arrays:
     ``{'image': (B,H,W,3) f32, 'bbox': (B,N,4) f32, 'cls': (B,N) i32,
     'mask': (B,N,H,W) bool | (B,N,H,ceil(W/8)) u8, 'valid': (B,N) bool}``
-    plus ``'info'``: list of per-sample info dicts when present."""
+    plus ``'info'``: list of per-sample info dicts when present.
+
+    ``image_transport='uint8'`` sends images as ``round(x*255)`` uint8 — 4x
+    less host->device traffic; the jitted train/eval step divides by 255 on
+    device.  Valid when the transform's Normalize is mean 0 / std 255 (the
+    shipped configs); costs at most 0.5/255 per pixel vs float transport."""
     bsz = len(batch)
     image = np.stack([s["image"] for s in batch])
+    if image_transport == "uint8":
+        image = np.clip(np.round(image * 255.0), 0, 255).astype(np.uint8)
     h, w = image.shape[1:3]
     n = max_instances
 

@@ -74,11 +74,16 @@ def build_dataloader(config, seed=0, rank=0, world_size=1):
     dataset_cfg["transform"] = transform
     dataset = build(dataset_cfg, data_module)
     collate_cfg = cfg.pop("collate", {"type": "collate"})
-    collate_fn = build_func_partial(
-        collate_cfg, data_module,
-        max_instances=cfg.pop("max_instances", 100),
-        pack_masks=cfg.pop("pack_masks", False),
-    )
+    collate_kwargs = {
+        "max_instances": cfg.pop("max_instances", 100),
+        "pack_masks": cfg.pop("pack_masks", False),
+    }
+    # uint8 image transport (4x less host->device traffic) — only `collate`
+    # supports it; the jitted steps divide by 255 on device.
+    transport = cfg.pop("image_transport", None)
+    if transport is not None:
+        collate_kwargs["image_transport"] = transport
+    collate_fn = build_func_partial(collate_cfg, data_module, **collate_kwargs)
     cfg.pop("pin_memory", None)
     return data_module.DataLoader(
         dataset, collate_fn=collate_fn, seed=seed, rank=rank,

@@ -18,6 +18,14 @@ import jax.numpy as jnp
 from ..parallel.mesh import batch_sharding, data_mesh, replicate_sharding
 
 
+def _image_f32(x):
+    """uint8-transported images (collate image_transport='uint8') -> the f32
+    the Normalize(mean 0, std 255) transform would have produced."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x
+
+
 def unpack_target(batch, image_w):
     """Collated batch -> loss target dict; unpacks bit-packed GT masks on device.
 
@@ -49,7 +57,7 @@ def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
         from ..models.layers import default_ctx
 
         ctx = default_ctx(train=True, dtype=compute_dtype)
-        out, new_stats = model.apply(params, stats, batch["image"], ctx)
+        out, new_stats = model.apply(params, stats, _image_f32(batch["image"]), ctx)
         target = unpack_target(batch, image_w)
         loss_sum, loss_log, _ = loss_fn(out, target, training=True)
         return loss_sum, (new_stats, loss_log)
@@ -126,7 +134,7 @@ def make_eval_step(model, loss_fn, mesh, image_w, compute_dtype=jnp.float32):
         from ..models.layers import default_ctx
 
         ctx = default_ctx(train=False, dtype=compute_dtype)
-        out, _ = model.apply(params, stats, batch["image"], ctx)
+        out, _ = model.apply(params, stats, _image_f32(batch["image"]), ctx)
         target = unpack_target(batch, image_w)
         loss_sum, loss_log, metric_log = loss_fn(out, target, training=False)
         loss_log = dict(loss_log, loss=loss_sum)

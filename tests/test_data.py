@@ -145,3 +145,23 @@ def test_voc_dataset(mini_coco):
     s = ds[3]
     assert s["image"].shape == (96, 96, 3)
     assert s["image"].dtype == np.float32
+
+
+def test_uint8_image_transport(mini_coco):
+    """collate(image_transport='uint8') + on-device /255 reproduces the f32
+    pipeline within quantization (0.5/255)."""
+    import jax.numpy as jnp
+    from orienmask_tpu.trainer.train_state import _image_f32
+
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    samples = [ds[i] for i in range(4)]
+    b32 = collate(samples, max_instances=8)
+    bu8 = collate(samples, max_instances=8, image_transport="uint8")
+    assert bu8["image"].dtype == np.uint8
+    assert b32["image"].nbytes == 4 * bu8["image"].nbytes
+    back = np.asarray(_image_f32(jnp.asarray(bu8["image"])))
+    np.testing.assert_allclose(back, b32["image"], atol=0.5 / 255 + 1e-6)
+    # non-image fields identical
+    for k in ("bbox", "cls", "valid"):
+        np.testing.assert_array_equal(b32[k], bu8[k])
