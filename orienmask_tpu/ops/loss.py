@@ -264,6 +264,10 @@ class OrienMaskYOLOMultiScaleLoss:
     def _paint_shared_batch(self, gt_bbox, gt_valid, gt_mask):
         ga = jax.vmap(self._global_anchor)(gt_bbox, gt_valid)
         matched = ga >= 0
+        if self.painter_impl != "pallas" and gt_mask.shape[-1] != self.painter.image_w:
+            # XLA painter consumes unpacked masks; the Pallas kernel takes
+            # bit-packed masks directly (8x less DMA traffic).
+            gt_mask = jnp.unpackbits(gt_mask, axis=-1, count=self.painter.image_w)
         if self.painter_impl == "pallas":
             from .pallas_paint import paint_orientation
 

@@ -43,6 +43,21 @@ def _paint_kernel(nlast_ref, geom_ref, mask_ref,
     xf = jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 1).astype(
         jnp.float32)
 
+    # Bit-unpack machinery for packed masks (mask_ref is (1, N, block_h, W/8)
+    # uint8, big-endian bit order as np.packbits).  Mosaic cannot split the
+    # lane dimension, so the W/8 -> W byte replication rides the MXU instead:
+    # rep = bytes @ S with S[j, x] = [x//8 == j], then pixel x extracts bit
+    # (7 - x%8) via exact power-of-two float shifts (bytes <= 255 are exact
+    # in f32, products with 2^-k are exact, floor is exact).
+    w8 = image_w // 8
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (w8, image_w), 0)
+    xcol = jax.lax.broadcasted_iota(jnp.int32, (w8, image_w), 1)
+    rep_mat = (jrow == xcol // 8).astype(jnp.float32)  # (W/8, W)
+    xmod = jax.lax.broadcasted_iota(jnp.int32, (1, image_w), 1) % 8
+    shift = jnp.full((1, image_w), 1.0 / 128.0, jnp.float32)  # 2^-(7-x%8)
+    for kbit in range(1, 8):
+        shift = jnp.where(xmod == kbit, jnp.float32(2.0 ** (kbit - 7)), shift)
+
     zeros = jnp.zeros((block_h, image_w), jnp.float32)
     for a in range(n_anchors):
         pos_ref[0, a] = zeros   # winner rank accumulator
@@ -68,8 +83,13 @@ def _paint_kernel(nlast_ref, geom_ref, mask_ref,
             anc = geom_ref[0, n, 8].astype(jnp.int32)
 
             roi = (xf >= x1) & (xf < x2) & (yf >= y1) & (yf < y2)
-            # Mosaic has no i8 vector compare — widen to i32 first
-            m = mask_ref[0, n].astype(jnp.int32) > 0
+            # Mosaic has no direct u8->f32 vector cast; widen via i32
+            packed = mask_ref[0, n].astype(jnp.int32).astype(jnp.float32)
+            rep = jax.lax.dot(packed, rep_mat,
+                              preferred_element_type=jnp.float32)
+            t = jnp.floor(rep * shift)
+            bit = t - 2.0 * jnp.floor(t * 0.5)
+            m = bit > 0.5
             inst = roi & m
             bg = roi & (~m)
             bgf = bg.astype(jnp.float32)
@@ -135,7 +155,9 @@ def paint_orientation(geom, n_last, gt_mask, pixel_anchors, image_size,
         anchor, active] in pixels (bounds as half-open [x1, x2)).
       n_last: (B,) int32 — 1 + index of each sample's last active instance
         (the fori_loop bound; 0 means nothing to paint).
-      gt_mask: (B, N, H, W) bool/uint8 instance masks.
+      gt_mask: (B, N, H, W) bool/uint8 instance masks, or (B, N, H, W/8)
+        bit-packed uint8 (np.packbits order) — packed is the fast path (8x
+        less DMA; in-kernel exact unpack via MXU byte replication).
       pixel_anchors: (A, 2) anchor sizes in pixels (static numpy).
       image_size: (H, W).
     Returns (orien_pos, orien_neg, torien): (B, A, H, W) f32 x2 and
@@ -144,12 +166,22 @@ def paint_orientation(geom, n_last, gt_mask, pixel_anchors, image_size,
     h, w = image_size
     b, n = geom.shape[0], geom.shape[1]
     n_anchors = len(pixel_anchors)
-    # VMEM budget: mask block (n rows u8) + 4 double-buffered f32 outputs +
-    # 2 f32 scratch canvases, all over (block_h, lanes-padded w). Shrink the
-    # row block until it fits (~12MB leaves headroom of the ~16MB/core VMEM).
+    assert w % 8 == 0, w
+    w8 = w // 8
+    if gt_mask.shape[-1] == w:
+        # unpacked input (tests / direct callers): pack for the kernel; the
+        # train step ships masks packed so this branch is off the hot path.
+        from .maskops import pack_bits
+        gt_mask = pack_bits(gt_mask.astype(bool))
+    assert gt_mask.shape[-1] == w8, (gt_mask.shape, w)
+    # VMEM budget: packed mask block (n rows u8, lanes pad to 128) + 4
+    # double-buffered f32 outputs + 2 f32 scratch canvases over (block_h,
+    # lanes-padded w). Shrink the row block until it fits (~12MB leaves
+    # headroom of the ~16MB/core VMEM).
     w_pad = -(-w // 128) * 128
+    w8_pad = -(-w8 // 128) * 128
     while block_h > 8:
-        est = block_h * w_pad * (2 * n + (4 * 2 + 2) * n_anchors * 4)
+        est = block_h * (2 * n * w8_pad + w_pad * (4 * 2 + 2) * n_anchors * 4)
         if est <= 12 * 1024 * 1024 and h % block_h == 0:
             break
         block_h //= 2
@@ -175,7 +207,7 @@ def paint_orientation(geom, n_last, gt_mask, pixel_anchors, image_size,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n, N_GEOM), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, block_h, w), lambda bi, hi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, n, block_h, w8), lambda bi, hi: (bi, 0, hi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
@@ -185,7 +217,6 @@ def paint_orientation(geom, n_last, gt_mask, pixel_anchors, image_size,
             pltpu.VMEM((n_anchors, block_h, w), jnp.float32),
         ],
         interpret=interpret,
-    )(n_last.astype(jnp.int32).reshape(b, 1, 1), geom,
-      gt_mask.astype(jnp.uint8))
+    )(n_last.astype(jnp.int32).reshape(b, 1, 1), geom, gt_mask)
     torien = jnp.stack([tx, ty], axis=-1)
     return pos, neg, torien

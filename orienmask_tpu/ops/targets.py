@@ -213,6 +213,8 @@ class TargetBuilder:
         bbox_t, (gxy, gwh, ma, matched) = self._bbox_targets(
             gt_bbox, gt_cls, gt_valid, pred_boxes
         )
+        if gt_mask.shape[-1] != self.image_w:  # bit-packed transport
+            gt_mask = jnp.unpackbits(gt_mask, axis=-1, count=self.image_w)
         orien = self._orientation_targets(gxy, gwh, ma, matched, gt_mask)
         return (*bbox_t, *orien)
 

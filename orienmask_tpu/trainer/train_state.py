@@ -27,16 +27,13 @@ def _image_f32(x):
 
 
 def unpack_target(batch, image_w):
-    """Collated batch -> loss target dict; unpacks bit-packed GT masks on device.
+    """Collated batch -> loss target dict.
 
-    The unpacked mask stays uint8 (0/1): the Pallas painting kernel consumes
-    u8 directly, and a bool round-trip would cost an extra 2x(B,N,H,W) HBM
-    pass per step.  Consumers needing bool coerce at their boundary
-    (ops/targets.py XLA painter)."""
-    mask = batch["mask"]
-    if mask.dtype == jnp.uint8 and mask.shape[-1] != image_w:
-        mask = jnp.unpackbits(mask, axis=-1, count=image_w)
-    return {"bbox": batch["bbox"], "cls": batch["cls"], "mask": mask,
+    Bit-packed GT masks pass through PACKED: the Pallas painting kernel
+    consumes them directly (8x less DMA + in-kernel unpack on the MXU);
+    the XLA painter paths unpack at their own boundary (ops/loss.py
+    _paint_shared_batch, ops/targets.py TargetBuilder.__call__)."""
+    return {"bbox": batch["bbox"], "cls": batch["cls"], "mask": batch["mask"],
             "valid": batch["valid"]}
 
 

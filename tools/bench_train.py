@@ -14,7 +14,8 @@ bf16 B=8 71ms (112 img/s), B=16 148ms (108 img/s), B=32 303ms (106 img/s)
 already at the ceiling. With the fused Pallas painting kernel
 (ops/pallas_paint.py): bf16 B=8 64.5ms (124 img/s).  With dtype-uniform
 BatchNorm + gather-free target tables + the space-to-depth stem
-(models/darknet.py): bf16 B=8 49.4ms (161.9 img/s).
+(models/darknet.py): bf16 B=8 49.4ms (161.9 img/s).  With the painter
+consuming bit-packed masks (in-kernel MXU unpack): 46.9ms (170.6 img/s).
 """
 
 import argparse
