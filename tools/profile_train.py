@@ -70,30 +70,25 @@ def analyze(trace_dir, iters, top=40):
         data = json.load(f)
     events = data.get("traceEvents", [])
 
-    # find TPU device pids (process names containing 'TPU' / 'Device')
-    pid_name = {}
+    # XLA Ops thread on the TPU device process holds the per-op events;
+    # the Steps thread holds whole-step wrappers (excluded).
+    tid_name = {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_name[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_name.items()
-                if ("TPU" in n or "Device" in n) and "Host" not in n}
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
 
     agg = defaultdict(float)
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X":
+            continue
+        if tid_name.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0)  # microseconds
-        # only leaf-ish op events: skip the big step wrappers
-        if name.startswith(("jit_", "pjit_")) or name in ("XLA Modules",):
-            continue
         args_ = e.get("args") or {}
-        key = args_.get("long_name") or name
-        # collapse fusion instance suffixes: fusion.123 -> fusion family by
-        # the op category if available
-        cat = args_.get("tf_op") or name
-        agg[name.split(".")[0] + "|" + name] += dur
+        key = args_.get("tf_op") or name
+        agg[key + "|" + (args_.get("source") or "")] += dur
         total += dur
 
     per_iter = total / iters / 1000.0
@@ -102,7 +97,8 @@ def analyze(trace_dir, iters, top=40):
     print(f"{'ms/step':>9}  {'%':>5}  op")
     items = sorted(agg.items(), key=lambda kv: -kv[1])
     for k, v in items[:top]:
-        print(f"{v/iters/1000:9.3f}  {100*v/total:5.1f}  {k.split('|',1)[1][:110]}")
+        op, src = k.split("|", 1)
+        print(f"{v/iters/1000:9.3f}  {100*v/total:5.1f}  {op[:70]} {src.split('/')[-1]}")
 
 
 def main():
