@@ -47,7 +47,9 @@ def build_model(config, ignore_pretrained=False, seed=0):
     return model, variables
 
 
-def build_postprocess(config, pack_masks=False):
+def build_postprocess(config, pack_masks=True):
+    # pack_masks default True: detection masks cross device->host bit-packed
+    # (8x less transfer); to_host_list unpacks on the host transparently.
     cfg = copy.deepcopy(config)
     return build(cfg, postprocess_module, pack_masks=pack_masks)
 
