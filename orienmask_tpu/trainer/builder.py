@@ -78,12 +78,20 @@ def build_dataloader(config, seed=0, rank=0, world_size=1):
     collate_cfg = cfg.pop("collate", {"type": "collate"})
     collate_kwargs = {
         "max_instances": cfg.pop("max_instances", 100),
-        "pack_masks": cfg.pop("pack_masks", False),
+        # default True: GT masks cross host->device bit-packed (8x less
+        # PCIe) and the Pallas painter consumes them packed natively.
+        "pack_masks": cfg.pop("pack_masks", True),
     }
     # uint8 image transport (4x less host->device traffic) — only `collate`
     # supports it; the jitted steps divide by 255 on device.
     transport = cfg.pop("image_transport", None)
     if transport is not None:
+        if collate_cfg.get("type", "collate") != "collate":
+            raise ValueError(
+                f"image_transport={transport!r} requires collate type 'collate' "
+                f"(got {collate_cfg.get('type')!r})")
+        if transport == "uint8":
+            _check_u8_transport_normalize(transform)
         collate_kwargs["image_transport"] = transport
     collate_fn = build_func_partial(collate_cfg, data_module, **collate_kwargs)
     cfg.pop("pin_memory", None)
@@ -91,6 +99,21 @@ def build_dataloader(config, seed=0, rank=0, world_size=1):
         dataset, collate_fn=collate_fn, seed=seed, rank=rank,
         world_size=world_size, **cfg,
     )
+
+
+def _check_u8_transport_normalize(transform):
+    """uint8 transport assumes Normalize(mean 0, std 255): round(x*255) must
+    invert the normalization exactly (up to quantization)."""
+    pipeline = getattr(getattr(transform, "pipeline", None), "transforms", [])
+    for op in pipeline:
+        if type(op).__name__ == "Normalize":
+            mean = tuple(float(m) for m in np.ravel(op.mean))
+            std = tuple(float(v) for v in np.ravel(op.std))
+            if any(m != 0.0 for m in mean) or any(v != 255.0 for v in std):
+                raise ValueError(
+                    "image_transport='uint8' requires Normalize(mean=0, "
+                    f"std=255); got mean={mean} std={std}")
+    return
 
 
 def _freeze_mask(model, params):

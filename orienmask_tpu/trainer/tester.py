@@ -30,9 +30,13 @@ class Tester:
         )
         folded = model.fold(variables)
         from ..models.layers import default_ctx
+        from .train_state import _image_f32
 
+        # _image_f32: accept uint8-transported loader batches like the
+        # train/eval steps do (no-op for float images).
         self._fwd = jax.jit(
-            lambda f, im: model.apply_folded(f, im, default_ctx(dtype=self.dtype))
+            lambda f, im: model.apply_folded(
+                f, _image_f32(im), default_ctx(dtype=self.dtype))
         )
         self._folded = folded
 

@@ -26,7 +26,7 @@ def _image_f32(x):
     return x
 
 
-def unpack_target(batch, image_w):
+def unpack_target(batch):
     """Collated batch -> loss target dict.
 
     Bit-packed GT masks pass through PACKED: the Pallas painting kernel
@@ -37,7 +37,7 @@ def unpack_target(batch, image_w):
             "valid": batch["valid"]}
 
 
-def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
+def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
                     compute_dtype=jnp.float32):
     """Returns (train_step, init_state_fn).
 
@@ -55,7 +55,7 @@ def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
 
         ctx = default_ctx(train=True, dtype=compute_dtype)
         out, new_stats = model.apply(params, stats, _image_f32(batch["image"]), ctx)
-        target = unpack_target(batch, image_w)
+        target = unpack_target(batch)
         loss_sum, loss_log, _ = loss_fn(out, target, training=True)
         return loss_sum, (new_stats, loss_log)
 
@@ -121,7 +121,7 @@ def make_train_step(model, loss_fn, optimizer, mesh, image_w, accumulate=1,
     return jitted, init_state
 
 
-def make_eval_step(model, loss_fn, mesh, image_w, compute_dtype=jnp.float32):
+def make_eval_step(model, loss_fn, mesh, compute_dtype=jnp.float32):
     """Eval-mode forward + loss metrics; returns (model outputs, loss log, metric log)."""
 
     if hasattr(loss_fn, "set_paint_mesh"):
@@ -132,7 +132,7 @@ def make_eval_step(model, loss_fn, mesh, image_w, compute_dtype=jnp.float32):
 
         ctx = default_ctx(train=False, dtype=compute_dtype)
         out, _ = model.apply(params, stats, _image_f32(batch["image"]), ctx)
-        target = unpack_target(batch, image_w)
+        target = unpack_target(batch)
         loss_sum, loss_log, metric_log = loss_fn(out, target, training=False)
         loss_log = dict(loss_log, loss=loss_sum)
         return out, loss_log, metric_log

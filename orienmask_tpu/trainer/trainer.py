@@ -42,12 +42,11 @@ class Trainer(BaseTrainer):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
-        image_w = config["loss"]["image_size"][1]
         self.train_step, init_state = make_train_step(
-            model, loss, optimizer, mesh, image_w,
+            model, loss, optimizer, mesh,
             accumulate=self.accumulate, compute_dtype=dtype,
         )
-        self.eval_step = make_eval_step(model, loss, mesh, image_w, dtype)
+        self.eval_step = make_eval_step(model, loss, mesh, dtype)
         self.state = init_state(variables)
 
         self.coco_metrics = None

@@ -43,7 +43,7 @@ def test_train_step_overfits_one_batch(slim_backbone):
     )
     optimizer = SGD(lr=3e-4, momentum=0.9, weight_decay=0.0)
     mesh = data_mesh(n_devices=1)
-    train_step, init_state = make_train_step(model, loss, optimizer, mesh, size)
+    train_step, init_state = make_train_step(model, loss, optimizer, mesh)
     state = init_state(variables)
 
     rng = np.random.default_rng(0)

@@ -165,3 +165,29 @@ def test_uint8_image_transport(mini_coco):
     # non-image fields identical
     for k in ("bbox", "cls", "valid"):
         np.testing.assert_array_equal(b32[k], bu8[k])
+
+
+def test_uint8_transport_requires_255_normalize(mini_coco):
+    """build_dataloader validates that uint8 transport pairs with
+    Normalize(mean 0, std 255) and the plain `collate` type."""
+    import pytest as _pytest
+    from orienmask_tpu.trainer.builder import build_dataloader
+
+    list_file, img_dir, anno_file = mini_coco
+    base = dict(
+        dataset=dict(type="COCODataset", list_file=list_file,
+                     image_dir=img_dir, anno_file=anno_file),
+        transform=dict(type="COCOTransform", pipeline=[
+            dict(type="ToArray"),
+            dict(type="Normalize", mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375)),
+        ]),
+        batch_size=2, num_workers=0, image_transport="uint8",
+    )
+    with _pytest.raises(ValueError, match="Normalize"):
+        build_dataloader(base)
+    bad_collate = dict(base, collate={"type": "collate_plus"})
+    bad_collate["transform"]["pipeline"][1] = dict(
+        type="Normalize", mean=(0, 0, 0), std=(255, 255, 255))
+    with _pytest.raises(ValueError, match="collate"):
+        build_dataloader(bad_collate)

@@ -78,7 +78,7 @@ def main():
 
     train_step, init_state = make_train_step(
         model, loss, optimizer, mesh,
-        image_w=args.size, compute_dtype=jnp.dtype(args.dtype),
+        compute_dtype=jnp.dtype(args.dtype),
     )
     state = init_state(variables)
     batch = shard_batch(synthetic_batch(args.batch, args.size), mesh)

@@ -41,7 +41,7 @@ def run_step(args):
     mesh = data_mesh()
     train_step, init_state = make_train_step(
         model, loss, optimizer, mesh,
-        image_w=args.size, compute_dtype=jnp.dtype(args.dtype),
+        compute_dtype=jnp.dtype(args.dtype),
     )
     state = init_state(variables)
     batch = shard_batch(synthetic_batch(args.batch, args.size), mesh)
@@ -57,10 +57,17 @@ def run_step(args):
         for _ in range(args.iters):
             state, logs = train_step(state, batch, lr, done)
         jax.block_until_ready(logs["loss"])
+    with open(os.path.join(trace_dir, "iters.txt"), "w") as fh:
+        fh.write(str(args.iters))
     return trace_dir
 
 
 def analyze(trace_dir, iters, top=40):
+    try:  # the capture records its own iteration count; trust it over the flag
+        with open(os.path.join(trace_dir, "iters.txt")) as fh:
+            iters = int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
     paths = sorted(glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not paths:

@@ -138,7 +138,7 @@ def main():
     optimizer = SGD(lr=1e-3, momentum=0.9, weight_decay=0.0)
     mesh = data_mesh()
     train_step, init_state = make_train_step(
-        model, loss, optimizer, mesh, image_w=SIZE, compute_dtype=jnp.bfloat16,
+        model, loss, optimizer, mesh, compute_dtype=jnp.bfloat16,
     )
     state = init_state(variables)
     batch = {"image": images, "bbox": gt_bbox, "cls": gt_cls,
