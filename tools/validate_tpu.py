@@ -1,0 +1,212 @@
+"""On-chip validation suite: run the numerics-critical kernels on REAL TPU
+hardware and compare against independent formulations.
+
+The CPU test suite (tests/) proves semantics against numpy/torch oracles, but
+Pallas interpret mode does not exercise Mosaic lowering and XLA:TPU layouts
+differ from XLA:CPU.  This tool closes that gap; run it after touching any
+kernel or model-structure code:
+
+    tools/tpu_run.sh tools/validate_tpu.py /tmp/validate_tpu.log 240 3 1200
+
+Checks (each prints PASS/FAIL, exit code 1 on any FAIL):
+  1. s2d-stem forward parity: DarkNet53 phase-space stem vs per-layer path
+     (eval + folded) on-chip.
+  2. Pallas orientation painter (packed masks) vs the XLA painter: pos/neg
+     canvases must be bit-exact; torien within the XLA path's approximate-
+     division tolerance.
+  3. Pallas mask assembly vs the XLA broadcast-compare formulation.
+  4. Full fused inference pipeline vs an unfused forward+postprocess.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+t0 = time.time()
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{time.time()-t0:6.1f}s] {status} {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def check_s2d_stem():
+    from orienmask_tpu.models.darknet import DarkNet53
+    from orienmask_tpu.models.layers import default_ctx
+
+    m_std = DarkNet53(s2d_stem=False)
+    m_s2d = DarkNet53(s2d_stem=True)
+    params, stats = m_std.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 160, 3), jnp.float32)
+
+    @jax.jit
+    def run(params, stats, x):
+        ev = default_ctx(train=False)
+        a, _ = m_std.apply(params, stats, x, ev)
+        b, _ = m_s2d.apply(params, stats, x, ev)
+        folded = m_std.fold(params, stats)
+        fa = m_std.apply_folded(folded, x, ev)
+        fb = m_s2d.apply_folded(folded, x, ev)
+        return a, b, fa, fb
+
+    a, b, fa, fb = run(params, stats, x)
+    d_eval = max(float(jnp.max(jnp.abs(p - q))) for p, q in zip(a, b))
+    d_fold = max(float(jnp.max(jnp.abs(p - q))) for p, q in zip(fa, fb))
+    check("s2d-stem eval parity", d_eval < 2e-3, f"maxdiff={d_eval:.2e}")
+    check("s2d-stem folded parity", d_fold < 2e-3, f"maxdiff={d_fold:.2e}")
+
+
+def _random_scene(size, B=2, N=40, seed=3):
+    rng = np.random.default_rng(seed)
+    bbox = np.zeros((B, N, 4), np.float32)
+    bbox[..., :2] = rng.uniform(0.15, 0.85, (B, N, 2))
+    bbox[..., 2:] = rng.uniform(0.05, 0.5, (B, N, 2))
+    valid = rng.uniform(size=(B, N)) < 0.5
+    masks = np.zeros((B, N, size, size), bool)
+    for b in range(B):
+        for n in range(N):
+            cx, cy, w_, h_ = bbox[b, n]
+            x1, x2 = int((cx - w_ / 2) * size), int((cx + w_ / 2) * size)
+            y1, y2 = int((cy - h_ / 2) * size), int((cy + h_ / 2) * size)
+            y1, y2 = max(y1, 0), min(y2, size)
+            x1, x2 = max(x1, 0), min(x2, size)
+            masks[b, n, y1:y2, x1:x2] = \
+                rng.uniform(size=(y2 - y1, x2 - x1)) < 0.7
+    return bbox, valid, masks
+
+
+def check_painter(size=544):
+    from orienmask_tpu.config.base import ANCHORS_MASK, ANCHORS_YOLOV4
+    from orienmask_tpu.ops.loss import OrienMaskYOLOMultiScaleLoss
+    from orienmask_tpu.ops.maskops import pack_bits
+
+    grid = [[size // 32] * 2, [size // 16] * 2, [size // 8] * 2]
+    kw = dict(grid_size=grid, image_size=[size, size], anchors=ANCHORS_YOLOV4,
+              anchor_mask=ANCHORS_MASK, num_classes=80,
+              obj_ignore_threshold=0.7, weight=[1, 1, 1, 1, 1, 20, 20],
+              scales_weight=[1, 1, 1], target_chunk=8)
+    l_pal = OrienMaskYOLOMultiScaleLoss(painter_impl="pallas", **kw)
+    l_xla = OrienMaskYOLOMultiScaleLoss(painter_impl="xla", **kw)
+    bbox, valid, masks = _random_scene(size)
+    packed = pack_bits(jnp.asarray(masks))
+
+    f_pal = jax.jit(l_pal._paint_shared_batch)
+    f_xla = jax.jit(l_xla._paint_shared_batch)
+    p1 = f_pal(jnp.asarray(bbox), jnp.asarray(valid), packed)
+    p2 = f_xla(jnp.asarray(bbox), jnp.asarray(valid), packed)
+    d_pos = float(jnp.max(jnp.abs(p1[0] - p2[0])))
+    d_neg = float(jnp.max(jnp.abs(p1[1] - p2[1])))
+    d_tor = float(jnp.max(jnp.abs(p1[2] - p2[2])))
+    check("painter pos bit-exact", d_pos == 0.0, f"maxdiff={d_pos:.2e}")
+    check("painter neg bit-exact", d_neg == 0.0, f"maxdiff={d_neg:.2e}")
+    # XLA path divides approximately on TPU; the Pallas kernel uses exact
+    # reciprocals — allow the known XLA-side tolerance.
+    check("painter torien tolerance", d_tor < 0.1, f"maxdiff={d_tor:.2e}")
+
+
+def check_mask_kernel(size=544):
+    from orienmask_tpu.ops.pallas_masks import assemble_masks
+
+    rng = np.random.default_rng(5)
+    A, K = 9, 100
+    field = rng.standard_normal((A, 2, size, size)).astype(np.float32)
+    boxes = np.zeros((K, 4), np.float32)
+    boxes[:, :2] = rng.uniform(0.2, 0.8, (K, 2))
+    boxes[:, 2:] = rng.uniform(0.05, 0.6, (K, 2))
+    aidx = rng.integers(0, A, K).astype(np.int32)
+    na = rng.uniform(0.02, 0.5, (A, 2)).astype(np.float32)
+
+    got = assemble_masks(jnp.asarray(field), jnp.asarray(boxes),
+                         jnp.asarray(na[aidx]), jnp.asarray(aidx))
+
+    def ref(field, boxes, awh, aidx):
+        ys = jnp.arange(size, dtype=jnp.float32)[:, None] / size
+        xs = jnp.arange(size, dtype=jnp.float32)[None, :] / size
+
+        def one(a, wh, box):
+            fx = field[a, 0] * (wh[0] * 0.5) + xs
+            fy = field[a, 1] * (wh[1] * 0.5) + ys
+            return (jnp.abs(fx - box[0]) < 0.3 * box[2]) \
+                & (jnp.abs(fy - box[1]) < 0.3 * box[3])
+
+        return jax.vmap(one)(aidx, awh, boxes)
+
+    want = jax.jit(ref)(jnp.asarray(field), jnp.asarray(boxes),
+                        jnp.asarray(na[aidx]), jnp.asarray(aidx))
+    diff = int(jnp.sum(got.astype(jnp.int32) != want.astype(jnp.int32)))
+    check("mask kernel vs XLA compare", diff == 0, f"mismatched px={diff}")
+
+
+def check_pipeline():
+    from orienmask_tpu.config import (
+        orienmask_yolo_coco_544_anchor4_fpn_plus_infer as cfg,
+    )
+    import orienmask_tpu.models as mm
+    from orienmask_tpu.pipeline import InferencePipeline
+    from orienmask_tpu.trainer.builder import build, build_postprocess, \
+        build_transform
+
+    from orienmask_tpu.models.layers import default_ctx
+
+    mc = dict(cfg["model"])
+    mc["pretrained"] = None
+    model = build(mc, mm)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    transform = build_transform(cfg["transform"])
+    pp_packed = build_postprocess(cfg["postprocess"], pack_masks=True)
+    pp_plain = build_postprocess(cfg["postprocess"], pack_masks=False)
+    pipe = InferencePipeline(model, variables, transform, pp_packed,
+                             compute_dtype="float32")
+
+    img = np.random.default_rng(0).integers(0, 255, (1, 480, 640, 3), np.uint8)
+    fused = pipe(img)[0][0]
+
+    # Unfused: the SAME folded pieces as separate programs.  Caveat: with
+    # random weights every candidate score is identical to ~1e-6 (sigmoids
+    # of near-zero logits), so detection RANK is pure fusion-reassociation
+    # noise — row-wise equality is meaningless.  This is a smoke-level
+    # consistency check: shapes, class set, the sorted score multiset, and
+    # a bound on strict-inequality mask boundary flips (exact formulation
+    # equality on identical inputs is proven by check 3).
+    x = transform.apply(jnp.asarray(img, jnp.float32))
+    ctx = default_ctx(train=False, dtype=jnp.float32)
+    predict = jax.jit(
+        lambda f, xx: model.apply_folded(f, xx, ctx))(pipe.folded, x)
+    plain = pp_plain(predict)[0]
+    n = fused["bbox"].shape[0]
+    px = n * pp_plain.image_h * pp_plain.image_w
+    mask_mismatch = (int(np.sum(fused["mask"] != plain["mask"]))
+                     if fused["mask"].shape == plain["mask"].shape else px)
+    scores_ok = np.allclose(np.sort(fused["bbox"][:, 4]),
+                            np.sort(plain["bbox"][:, 4]), atol=1e-5)
+    ok = (fused["bbox"].shape == plain["bbox"].shape
+          and scores_ok
+          and set(fused["cls"].tolist()) == set(plain["cls"].tolist())
+          and mask_mismatch <= px // 1000)
+    check("fused pipeline ~ unfused pieces (f32, rank-agnostic)", ok,
+          f"n={n} mask_mismatch_px={mask_mismatch}/{px}")
+
+
+def main():
+    print(f"[{time.time()-t0:6.1f}s] devices: {jax.devices()}", flush=True)
+    check_s2d_stem()
+    check_painter()
+    check_mask_kernel()
+    check_pipeline()
+    n = len(FAILURES)
+    print(f"[{time.time()-t0:6.1f}s] {'ALL PASS' if n == 0 else f'{n} FAILURES: {FAILURES}'}")
+    sys.exit(1 if n else 0)
+
+
+if __name__ == "__main__":
+    main()
