@@ -107,3 +107,67 @@ def load_pretrained_backbone(model, params, stats, path):
     stats = dict(stats, backbone=bb_stats)
     print(f"[DarkNet53] loaded pretrained backbone from {path}")
     return params, stats
+
+
+# ------------------------------------------------------------- JAX -> torch
+
+def _torch_kernel(k):
+    """jax HWIO -> torch OIHW."""
+    return np.ascontiguousarray(np.asarray(k).transpose(3, 2, 0, 1))
+
+
+def module_to_torch(module, params, stats, prefix, out):
+    """Inverse of ``module_from_torch``: write ``module``'s params/stats into a
+    torch-layout state_dict ``out`` (numpy values)."""
+    if isinstance(module, ConvBNLeaky):
+        out[f"{prefix}.conv_block.0.weight"] = _torch_kernel(params["kernel"])
+        out[f"{prefix}.conv_block.1.weight"] = np.asarray(params["scale"])
+        out[f"{prefix}.conv_block.1.bias"] = np.asarray(params["bias"])
+        out[f"{prefix}.conv_block.1.running_mean"] = np.asarray(stats["mean"])
+        out[f"{prefix}.conv_block.1.running_var"] = np.asarray(stats["var"])
+        out[f"{prefix}.conv_block.1.num_batches_tracked"] = np.asarray(0, np.int64)
+        return
+    if isinstance(module, Conv):
+        out[f"{prefix}.weight"] = _torch_kernel(params["kernel"])
+        out[f"{prefix}.bias"] = np.asarray(params["bias"])
+        return
+    if isinstance(module, NearestUpsample):
+        return
+    if isinstance(module, Sequential):
+        for i, m in enumerate(module.modules):
+            module_to_torch(m, params[i], stats[i],
+                            f"{prefix}.{i}" if prefix else str(i), out)
+        return
+    if isinstance(module, DarkNetBlock):
+        module_to_torch(module.conv, params, stats, f"{prefix}.conv", out)
+        return
+    if isinstance(module, DarkNet53):
+        for name in module.stage_names:
+            sub = f"{prefix}.{name}" if prefix else name
+            module_to_torch(getattr(module, name), params[name], stats[name],
+                            sub, out)
+        return
+    raise TypeError(f"no torch mapping for {type(module).__name__}")
+
+
+def variables_to_torch(model, variables):
+    """``{'params', 'batch_stats'}`` -> reference-layout state_dict (numpy
+    values; wrap with torch.as_tensor for torch consumption)."""
+    out = {}
+    params, stats = variables["params"], variables["batch_stats"]
+    for name in model._module_names():
+        module_to_torch(getattr(model, name), params[name], stats[name],
+                        name, out)
+    return out
+
+
+def export_torch_checkpoint(model, variables, path):
+    """Save weights as a reference-loadable ``.pth`` (torch state_dict wrapped
+    as {'state_dict': ...}, the format reference train.py emits) — lets users
+    move checkpoints back to the PyTorch reference."""
+    import torch
+
+    sd = {k: torch.as_tensor(np.ascontiguousarray(v))
+          for k, v in variables_to_torch(model, variables).items()}
+    torch.save({"state_dict": sd}, path)
+    return path

@@ -181,3 +181,26 @@ def test_s2d_stem_matches_standard_path():
                g["conv2"][1][0]["kernel"], g["conv2"][1][1]["kernel"],
                g["conv3"][0]["kernel"]]:
         assert float(jnp.linalg.norm(gk)) > 0.0
+
+
+def test_export_torch_checkpoint_roundtrip(tmp_path, fpnplus_pair):
+    """variables -> .pth -> reference-style strict load + back-conversion
+    reproduces the exact leaves (models/convert.py export path)."""
+    from orienmask_tpu.models.convert import (
+        export_torch_checkpoint, load_torch_checkpoint,
+    )
+
+    tmodel, jmodel, variables = fpnplus_pair
+    path = str(tmp_path / "export.pth")
+    export_torch_checkpoint(jmodel, variables, path)
+
+    # the torch oracle loads it strictly (reference infer.py:83 semantics)
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    tmodel2 = type(tmodel)(num_anchors=3, num_classes=80)
+    tmodel2.load_state_dict(sd, strict=True)
+
+    # and converting back gives the identical pytree
+    back = load_torch_checkpoint(jmodel, path)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
