@@ -100,6 +100,16 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _fetch(self, idx):
+        """Load one sample inline with the deterministic (seed, epoch, idx)
+        augmentation RNG — the same function worker processes apply."""
+        if getattr(self.dataset, "transform", None) is not None and \
+                hasattr(self.dataset.transform, "reseed"):
+            self.dataset.transform.reseed(
+                (self.seed * 1_000_003 + self.epoch * 97 + int(idx)) % (2 ** 31)
+            )
+        return self.dataset[int(idx)]
+
     def _ensure_workers(self):
         if self._workers or self.num_workers == 0:
             return
@@ -145,14 +155,7 @@ class DataLoader:
 
         if self.num_workers == 0:
             for batch_idx in batches:
-                samples = []
-                for idx in batch_idx:
-                    if getattr(self.dataset, "transform", None) is not None and \
-                            hasattr(self.dataset.transform, "reseed"):
-                        self.dataset.transform.reseed(
-                            (self.seed * 1_000_003 + self.epoch * 97 + int(idx)) % (2 ** 31)
-                        )
-                    samples.append(self.dataset[int(idx)])
+                samples = [self._fetch(idx) for idx in batch_idx]
                 yield finalize(samples, pad_counts.pop(0))
             return
 
@@ -181,13 +184,19 @@ class DataLoader:
 class AspectRatioGroupedDataloader(DataLoader):
     """Groups samples into portrait/landscape buckets and emits homogeneous
     batches (reference data/dataloader.py:6-57). Registered for parity; unused
-    by shipped configs."""
+    by shipped configs.
+
+    Samples load inline (single process — grouping needs the decoded image
+    shape before batching, so the prefetch pool does not apply) with the same
+    deterministic (seed, epoch, idx) augmentation RNG as ``DataLoader``.
+    ``len()`` is an upper bound: bucket boundaries depend on the aspect-ratio
+    sequence, so the exact batch count is only known after iteration."""
 
     def __iter__(self):
         groups = [[], []]
         indices = self._indices()
         for idx in indices:
-            sample = self.dataset[int(idx)]
+            sample = self._fetch(idx)
             h, w = sample["image"].shape[:2]
             groups[0 if h > w else 1].append(sample)
             for g in groups:

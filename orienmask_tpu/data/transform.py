@@ -356,6 +356,10 @@ class FastCOCOTransform:
             if kind == "Resize":
                 self.size = _pair(kw["size"])
                 self.interpolation = kw.get("interpolation", "bilinear")
+                if self.interpolation != "bilinear":
+                    raise ValueError(
+                        "FastCOCOTransform only implements bilinear resize; "
+                        f"got interpolation={self.interpolation!r}")
                 self.align_corners = kw.get("align_corners", False)
             elif kind == "Normalize":
                 self.mean = np.asarray(kw["mean"], np.float32)

@@ -120,27 +120,49 @@ class OrienMaskYOLOLoss:
             )
             orien_pos_mask, orien_neg_mask, torien = orien
 
-        loss_xy = (bce_with_logits(xy_logit, txy) * bbox_pos_scale[..., None]).sum() / nb
-        loss_wh = (jnp.square(pred_wh - twh) * bbox_pos_scale[..., None]).sum() / 2 / nb
-        loss_obj_all = bce_with_logits(obj_logit, bbox_pos_mask)
-        loss_obj_pos = (loss_obj_all * bbox_pos_mask).sum() / nb
-        loss_obj_neg = (loss_obj_all * bbox_neg_mask).sum() / nb
-        loss_cls = (bce_with_logits(cls_logit, tcls) * bbox_pos_mask[..., None]).sum() / nb
+        # Optional per-sample weights (val batches wrap-padded to a static
+        # shape carry 0 for duplicated samples — reference evaluates a short
+        # last batch instead, so sums and the batch divisor must exclude
+        # pads exactly).  Weights scale the SELECTOR masks only, never BCE
+        # targets; with no padding this reduces to the reference formulas.
+        w = target.get("sample_weight")
+        if w is not None:
+            wb = w[:, None, None, None]
+            div = jnp.maximum(w.sum(), 1.0)
+            pos_sel = bbox_pos_mask * wb
+            neg_sel = bbox_neg_mask * wb
+            pos_scale_sel = bbox_pos_scale * wb
+            orien_pos_sel = orien_pos_mask * wb
+            orien_neg_sel = orien_neg_mask * wb
+        else:
+            div = nb
+            pos_sel = bbox_pos_mask
+            neg_sel = bbox_neg_mask
+            pos_scale_sel = bbox_pos_scale
+            orien_pos_sel = orien_pos_mask
+            orien_neg_sel = orien_neg_mask
 
-        num_orien_pos = orien_pos_mask.sum()
-        num_orien_neg = orien_neg_mask.sum()
-        bbox_pos_count = bbox_pos_mask.sum()
+        loss_xy = (bce_with_logits(xy_logit, txy) * pos_scale_sel[..., None]).sum() / div
+        loss_wh = (jnp.square(pred_wh - twh) * pos_scale_sel[..., None]).sum() / 2 / div
+        loss_obj_all = bce_with_logits(obj_logit, bbox_pos_mask)
+        loss_obj_pos = (loss_obj_all * pos_sel).sum() / div
+        loss_obj_neg = (loss_obj_all * neg_sel).sum() / div
+        loss_cls = (bce_with_logits(cls_logit, tcls) * pos_sel[..., None]).sum() / div
+
+        num_orien_pos = orien_pos_sel.sum()
+        num_orien_neg = orien_neg_sel.sum()
+        bbox_pos_count = pos_sel.sum()
         loss_orien_all = smooth_l1(po, torien)
         loss_orien_pos = jnp.where(
             num_orien_pos > 0,
-            (loss_orien_all * orien_pos_mask[..., None]).sum()
-            / jnp.maximum(num_orien_pos, 1) * bbox_pos_count / nb,
+            (loss_orien_all * orien_pos_sel[..., None]).sum()
+            / jnp.maximum(num_orien_pos, 1) * bbox_pos_count / div,
             0.0,
         )
         loss_orien_neg = jnp.where(
             num_orien_neg > 0,
-            (loss_orien_all * orien_neg_mask[..., None]).sum()
-            / jnp.maximum(num_orien_neg, 1) * bbox_pos_count / nb,
+            (loss_orien_all * orien_neg_sel[..., None]).sum()
+            / jnp.maximum(num_orien_neg, 1) * bbox_pos_count / div,
             0.0,
         )
 
@@ -151,18 +173,19 @@ class OrienMaskYOLOLoss:
         if not training:
             pred_obj = jax.nn.sigmoid(obj_logit)
             pred_cls = jax.nn.sigmoid(cls_logit)
-            bbox_neg_count = bbox_neg_mask.sum()
+            bbox_neg_count = neg_sel.sum()
             orien_delta = jnp.abs(po - torien)
             metric_items = (
-                ((pred_cls * (tcls > 0.5)).sum(), bbox_pos_count),           # cls_conf
-                ((pred_obj * bbox_pos_mask).sum(), bbox_pos_count),          # obj_pos
-                ((pred_obj * bbox_neg_mask).sum(), bbox_neg_count),          # obj_neg
-                (tiou.sum(), bbox_pos_count),                                # avg_iou
-                ((tiou > 0.5).sum(), bbox_pos_count),                        # recall50
-                ((tiou > 0.75).sum(), bbox_pos_count),                       # recall75
-                (((orien_delta < 0.5) * orien_pos_mask[..., None]).sum(),
+                ((pred_cls * (tcls > 0.5) * pos_sel[..., None]).sum(),
+                 bbox_pos_count),                                            # cls_conf
+                ((pred_obj * pos_sel).sum(), bbox_pos_count),                # obj_pos
+                ((pred_obj * neg_sel).sum(), bbox_neg_count),                # obj_neg
+                ((tiou * pos_sel).sum(), bbox_pos_count),                    # avg_iou
+                (((tiou > 0.5) * pos_sel).sum(), bbox_pos_count),            # recall50
+                (((tiou > 0.75) * pos_sel).sum(), bbox_pos_count),           # recall75
+                (((orien_delta < 0.5) * orien_pos_sel[..., None]).sum(),
                  num_orien_pos * 2),                                         # orien_pos_acc
-                (((orien_delta < 0.5) * orien_neg_mask[..., None]).sum(),
+                (((orien_delta < 0.5) * orien_neg_sel[..., None]).sum(),
                  num_orien_neg * 2),                                         # orien_neg_acc
             )
 

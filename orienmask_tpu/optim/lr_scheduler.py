@@ -38,7 +38,13 @@ class StepWarmUpLR:
         base_lr = base_lr if base_lr is not None else self.base_lr
         if step <= self.warmup.iter:
             return self.warmup.get_warmup_lr(step, base_lr)
-        return base_lr * self.gamma ** bisect.bisect_right(self.milestones, step)
+        # Reference parity (optim/lr_scheduler.py:44-48): the stateful
+        # MultiStepLR never resets the group lr after warmup, so the
+        # post-warmup base is whatever the LAST warmup step set — base_lr for
+        # 'linear'/'power' (both end at 1.0x), but base_lr*ratio forever for
+        # 'const'.
+        eff_base = self.warmup.get_warmup_lr(self.warmup.iter, base_lr)
+        return eff_base * self.gamma ** bisect.bisect_right(self.milestones, step)
 
     def state_dict(self):
         return {"milestones": self.milestones, "gamma": self.gamma}

@@ -132,7 +132,9 @@ def _freeze_mask(model, params):
     return mask
 
 
-def build_optimizer(config, accumulate, model=None, params=None):
+def build_optimizer(config, model=None, params=None):
+    # NOTE: the lr/accumulate compensation (reference builder.py:121) lives in
+    # the train step's optimizer application (train_state.apply_opt), not here.
     cfg = copy.deepcopy(config)
     assert cfg.pop("type") == "SGD", "only SGD is shipped (reference parity)"
     lr = cfg.pop("lr")
@@ -159,6 +161,18 @@ def build_trainer(config, resume=None, weights=None):
     rank = get_device_rank()
     mesh = data_mesh()
     n_local = len(mesh.devices.flatten())
+    n_cfg = _n_devices(config)
+    # Reference train.py:39 asserts device_count == n_gpu: the config's batch
+    # size is PER DEVICE, so a silent mesh-width mismatch changes the
+    # effective batch/LR recipe. ORIENMASK_ANY_DEVICES=1 opts out for dev
+    # boxes.
+    import os as _os
+
+    if not _os.environ.get("ORIENMASK_ANY_DEVICES"):
+        assert n_local == n_cfg, (
+            f"config n_device={n_cfg} but mesh spans {n_local} local devices; "
+            "set ORIENMASK_ANY_DEVICES=1 to train at a different scale "
+            "(effective batch = batch_size x devices)")
 
     train_loader = build_dataloader(
         dict(_scaled_loader_cfg(config["train_loader"], n_local), drop_last=True),
@@ -174,9 +188,7 @@ def build_trainer(config, resume=None, weights=None):
         config["model"], ignore_pretrained, seed=config["seed"]
     )
     loss = build(config["loss"], loss_module)
-    optimizer = build_optimizer(
-        config["optimizer"], config["accumulate"], model, variables["params"]
-    )
+    optimizer = build_optimizer(config["optimizer"], model, variables["params"])
     lr_scheduler = build_lr_scheduler(
         config["lr_scheduler"], config["optimizer"]["lr"]
     )

@@ -32,9 +32,14 @@ def unpack_target(batch):
     Bit-packed GT masks pass through PACKED: the Pallas painting kernel
     consumes them directly (8x less DMA + in-kernel unpack on the MXU);
     the XLA painter paths unpack at their own boundary (ops/loss.py
-    _paint_shared_batch, ops/targets.py TargetBuilder.__call__)."""
-    return {"bbox": batch["bbox"], "cls": batch["cls"], "mask": batch["mask"],
-            "valid": batch["valid"]}
+    _paint_shared_batch, ops/targets.py TargetBuilder.__call__).
+    ``sample_weight`` (0 for wrap-padded eval samples) passes through when
+    present — the loss excludes padded samples from sums and divisors."""
+    target = {"bbox": batch["bbox"], "cls": batch["cls"], "mask": batch["mask"],
+              "valid": batch["valid"]}
+    if "sample_weight" in batch:
+        target["sample_weight"] = batch["sample_weight"]
+    return target
 
 
 def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
@@ -94,10 +99,11 @@ def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
 
     repl = replicate_sharding(mesh)
     bsh = batch_sharding(mesh)
-    batch_shardings = {"image": bsh, "bbox": bsh, "cls": bsh, "mask": bsh, "valid": bsh}
+    # One batch-axis sharding as a pytree prefix: every batch leaf is
+    # batch-major (image/bbox/cls/mask/valid and optional sample_weight).
     jitted = jax.jit(
         train_step,
-        in_shardings=(repl, batch_shardings, None, None),
+        in_shardings=(repl, bsh, None, None),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -139,8 +145,7 @@ def make_eval_step(model, loss_fn, mesh, compute_dtype=jnp.float32):
 
     repl = replicate_sharding(mesh)
     bsh = batch_sharding(mesh)
-    batch_shardings = {"image": bsh, "bbox": bsh, "cls": bsh, "mask": bsh, "valid": bsh}
     return jax.jit(
         eval_step,
-        in_shardings=(repl, repl, batch_shardings),
+        in_shardings=(repl, repl, bsh),
     )

@@ -176,6 +176,12 @@ class Trainer(BaseTrainer):
 
         for batch_idx, batch in iterator:
             info = batch.get("info")
+            # Wrap-padded samples (loader pad_last) carry info['_pad']: weight
+            # them 0 so val loss/metric counters match short-batch evaluation
+            # exactly (the COCO path filters them separately).
+            if info is not None:
+                batch = dict(batch, sample_weight=np.asarray(
+                    [0.0 if i.get("_pad") else 1.0 for i in info], np.float32))
             sharded = shard_batch(batch, self.mesh)
             sharded.pop("info", None)
             out, loss_log, metric_log = self.eval_step(

@@ -77,7 +77,7 @@ class InferenceVisualizer:
         alpha_cum = np.cumprod(1 - a * masks, axis=0)[..., None]
         color_mask = masks[..., None] * colors[:, None, None, :] * a
         image *= alpha_cum[-1]
-        image += color_mask[0] * (1.0 if n == 1 else 1.0)
+        image += color_mask[0]
         if n > 1:
             image += (color_mask[1:] * alpha_cum[:-1]).sum(axis=0)
 

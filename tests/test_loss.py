@@ -188,3 +188,51 @@ def test_pallas_painter_loss_wiring_sharded():
     for k in log_x:
         np.testing.assert_allclose(float(log_p[k]), float(log_x[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sample_weight_excludes_padded():
+    """Eval batches wrap-padded to static shapes carry sample_weight=0 for
+    duplicates; losses and (sum,count) metrics must equal the unpadded batch
+    exactly (reference evaluates a short last batch)."""
+    rng = np.random.default_rng(7)
+    ms_loss = OrienMaskYOLOMultiScaleLoss(
+        grid_size=[list(g) for g in GRIDS], image_size=list(IMAGE),
+        anchors=ANCHORS, anchor_mask=MASKS, num_classes=NUM_CLASSES,
+        center_region=0.6, valid_region=0.6, label_smooth=False,
+        obj_ignore_threshold=0.6, weight=[1, 1, 1, 1, 1, 20, 20],
+        scales_weight=[1, 1, 1], target_chunk=4,
+    )
+    samples = [_pad_gt(*_random_gt(rng, k)) for k in (5, 3)]
+    target = {
+        "bbox": jnp.asarray(np.stack([s[0] for s in samples])),
+        "cls": jnp.asarray(np.stack([s[1] for s in samples])),
+        "mask": jnp.asarray(np.stack([s[2] for s in samples])),
+        "valid": jnp.asarray(np.stack([s[3] for s in samples])),
+    }
+    predict = []
+    for sidx in range(3):
+        nh, nw = GRIDS[sidx]
+        b = rng.standard_normal((2, nh, nw, 3 * (5 + NUM_CLASSES))).astype(np.float32)
+        o = rng.standard_normal((2, IMAGE[0] // 4, IMAGE[1] // 4, 6)).astype(np.float32)
+        predict.append((jnp.asarray(b), jnp.asarray(o)))
+
+    # padded: duplicate sample 0 at the end with weight 0
+    def pad(x):
+        return jnp.concatenate([x, x[:1]], axis=0)
+
+    predict_p = [(pad(pb), pad(po)) for pb, po in predict]
+    target_p = {k: pad(v) for k, v in target.items()}
+    b = target["bbox"].shape[0]
+    target_p["sample_weight"] = jnp.concatenate(
+        [jnp.ones((b,), jnp.float32), jnp.zeros((1,), jnp.float32)])
+
+    ref_sum, ref_log, ref_metric = ms_loss(predict, target, training=False)
+    pad_sum, pad_log, pad_metric = ms_loss(predict_p, target_p, training=False)
+    np.testing.assert_allclose(float(pad_sum), float(ref_sum), rtol=1e-6)
+    for k in ref_log:
+        np.testing.assert_allclose(float(pad_log[k]), float(ref_log[k]),
+                                   rtol=1e-6, err_msg=k)
+    for k in ref_metric:
+        np.testing.assert_allclose(np.asarray(pad_metric[k], np.float64),
+                                   np.asarray(ref_metric[k], np.float64),
+                                   rtol=1e-6, err_msg=k)
