@@ -158,3 +158,19 @@ def test_param_group_factors_structure():
     assert lr_f["cbl"]["kernel"] == 1.0 and wd_f["cbl"]["kernel"] == 5e-4
     assert wd_f["cbl"]["scale"] == 0.0 and wd_f["cbl"]["bias"] == 0.0
     assert lr_f["head"]["bias"] == 2.0 and wd_f["head"]["bias"] == 1e-4
+
+
+def test_step_warmup_const_matches_reference_statefulness():
+    """Reference quirk (optim/lr_scheduler.py:44-48): MultiStepLR never resets
+    the group lr after warmup, so a 'const' warmup stays at base*ratio
+    forever (scaled at milestones); 'linear'/'power' end at base_lr."""
+    base = 1e-2
+    const = StepWarmUpLR("const", 100, 0.1, [1000], 0.1, base_lr=base)
+    assert const(50) == base * 0.1          # during warmup
+    assert const(101) == base * 0.1         # post-warmup: NOT reset to base
+    assert abs(const(1001) - base * 0.1 * 0.1) < 1e-12  # milestone scales it
+
+    linear = StepWarmUpLR("linear", 100, 0.1, [1000], 0.1, base_lr=base)
+    assert abs(linear(101) - base) < 1e-12  # linear warmup ends at base_lr
+    power = StepWarmUpLR("power", 100, 0.1, [1000], 0.1, base_lr=base)
+    assert abs(power(101) - base) < 1e-12
