@@ -67,37 +67,39 @@ def check_s2d_stem():
 
 
 def _random_scene(size, B=2, N=40, seed=3):
+    h, w = size if isinstance(size, tuple) else (size, size)
     rng = np.random.default_rng(seed)
     bbox = np.zeros((B, N, 4), np.float32)
     bbox[..., :2] = rng.uniform(0.15, 0.85, (B, N, 2))
     bbox[..., 2:] = rng.uniform(0.05, 0.5, (B, N, 2))
     valid = rng.uniform(size=(B, N)) < 0.5
-    masks = np.zeros((B, N, size, size), bool)
+    masks = np.zeros((B, N, h, w), bool)
     for b in range(B):
         for n in range(N):
             cx, cy, w_, h_ = bbox[b, n]
-            x1, x2 = int((cx - w_ / 2) * size), int((cx + w_ / 2) * size)
-            y1, y2 = int((cy - h_ / 2) * size), int((cy + h_ / 2) * size)
-            y1, y2 = max(y1, 0), min(y2, size)
-            x1, x2 = max(x1, 0), min(x2, size)
+            x1, x2 = int((cx - w_ / 2) * w), int((cx + w_ / 2) * w)
+            y1, y2 = int((cy - h_ / 2) * h), int((cy + h_ / 2) * h)
+            y1, y2 = max(y1, 0), min(y2, h)
+            x1, x2 = max(x1, 0), min(x2, w)
             masks[b, n, y1:y2, x1:x2] = \
                 rng.uniform(size=(y2 - y1, x2 - x1)) < 0.7
     return bbox, valid, masks
 
 
-def check_painter(size=544):
+def check_painter(size=(544, 544)):
     from orienmask_tpu.config.base import ANCHORS_MASK, ANCHORS_YOLOV4
     from orienmask_tpu.ops.loss import OrienMaskYOLOMultiScaleLoss
     from orienmask_tpu.ops.maskops import pack_bits
 
-    grid = [[size // 32] * 2, [size // 16] * 2, [size // 8] * 2]
-    kw = dict(grid_size=grid, image_size=[size, size], anchors=ANCHORS_YOLOV4,
+    h, w = size
+    grid = [[h // 32, w // 32], [h // 16, w // 16], [h // 8, w // 8]]
+    kw = dict(grid_size=grid, image_size=[h, w], anchors=ANCHORS_YOLOV4,
               anchor_mask=ANCHORS_MASK, num_classes=80,
               obj_ignore_threshold=0.7, weight=[1, 1, 1, 1, 1, 20, 20],
               scales_weight=[1, 1, 1], target_chunk=8)
     l_pal = OrienMaskYOLOMultiScaleLoss(painter_impl="pallas", **kw)
     l_xla = OrienMaskYOLOMultiScaleLoss(painter_impl="xla", **kw)
-    bbox, valid, masks = _random_scene(size)
+    bbox, valid, masks = _random_scene((h, w))
     packed = pack_bits(jnp.asarray(masks))
 
     f_pal = jax.jit(l_pal._paint_shared_batch)
@@ -107,11 +109,12 @@ def check_painter(size=544):
     d_pos = float(jnp.max(jnp.abs(p1[0] - p2[0])))
     d_neg = float(jnp.max(jnp.abs(p1[1] - p2[1])))
     d_tor = float(jnp.max(jnp.abs(p1[2] - p2[2])))
-    check("painter pos bit-exact", d_pos == 0.0, f"maxdiff={d_pos:.2e}")
-    check("painter neg bit-exact", d_neg == 0.0, f"maxdiff={d_neg:.2e}")
+    tag = f"{h}x{w}"
+    check(f"painter pos bit-exact {tag}", d_pos == 0.0, f"maxdiff={d_pos:.2e}")
+    check(f"painter neg bit-exact {tag}", d_neg == 0.0, f"maxdiff={d_neg:.2e}")
     # XLA path divides approximately on TPU; the Pallas kernel uses exact
     # reciprocals — allow the known XLA-side tolerance.
-    check("painter torien tolerance", d_tor < 0.1, f"maxdiff={d_tor:.2e}")
+    check(f"painter torien tolerance {tag}", d_tor < 0.1, f"maxdiff={d_tor:.2e}")
 
 
 def check_mask_kernel(size=544):
@@ -201,6 +204,7 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] devices: {jax.devices()}", flush=True)
     check_s2d_stem()
     check_painter()
+    check_painter(size=(160, 224))  # non-square shape coverage
     check_mask_kernel()
     check_pipeline()
     n = len(FAILURES)
