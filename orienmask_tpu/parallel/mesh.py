@@ -41,8 +41,23 @@ def batch_sharding(mesh, ndim=None):
 
 
 def shard_batch(batch, mesh):
-    """Device-put a host batch dict with the leading axis sharded over the mesh."""
+    """Device-put a host batch dict with the leading axis sharded over the mesh.
+
+    Single-process: plain ``device_put`` with the batch sharding (the host holds
+    the full global batch).  Multi-process (``jax.distributed`` runs, the
+    reference's ``torch.distributed.launch`` analogue at dist_train.sh:7-10):
+    each process holds only its rank-shard of the global batch, so the global
+    array must be assembled with ``jax.make_array_from_process_local_data`` —
+    a ``device_put`` with a global-mesh sharding would mis-shard the local data.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(v):
+            return jax.make_array_from_process_local_data(sh, np.asarray(v))
+
+        return {k: (put(v) if k != "info" else v) for k, v in batch.items()}
     return {
         k: (jax.device_put(v, sh) if k != "info" else v) for k, v in batch.items()
     }

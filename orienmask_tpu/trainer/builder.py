@@ -138,8 +138,21 @@ def build_optimizer(config, model=None, params=None):
     cfg = copy.deepcopy(config)
     assert cfg.pop("type") == "SGD", "only SGD is shipped (reference parity)"
     lr = cfg.pop("lr")
+    # Optional detectron2-style param groups sub-config (reference
+    # trainer/builder.py:122-126): base_lr/weight_decay are injected from the
+    # optimizer config; the sub-config carries norm_weight_decay /
+    # bias_lr_factor / bias_weight_decay. Here groups become per-leaf
+    # lr/wd factor pytrees consumed by the functional SGD.
+    pg_cfg = cfg.pop("param_groups", None)
+    lr_factors = wd_factors = None
+    if pg_cfg:
+        assert params is not None, "param_groups needs the model params pytree"
+        lr_factors, wd_factors = optim_module.param_group_factors(
+            params, base_lr=lr, weight_decay=cfg.get("weight_decay", 0.0),
+            **pg_cfg)
     freeze_mask = _freeze_mask(model, params) if (model is not None and params is not None) else None
-    return optim_module.SGD(lr=lr, freeze_mask=freeze_mask, **cfg)
+    return optim_module.SGD(lr=lr, freeze_mask=freeze_mask,
+                            lr_factors=lr_factors, wd_factors=wd_factors, **cfg)
 
 
 def build_lr_scheduler(config, base_lr):

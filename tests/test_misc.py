@@ -160,6 +160,39 @@ def test_param_group_factors_structure():
     assert lr_f["head"]["bias"] == 2.0 and wd_f["head"]["bias"] == 1e-4
 
 
+def test_build_optimizer_param_groups_config():
+    """A shipped-style optimizer config with a ``param_groups`` sub-config
+    (reference trainer/builder.py:122-126) wires per-leaf lr/wd factors into
+    SGD, and one step applies them (norm wd=0, bias lr factor)."""
+    from orienmask_tpu.trainer.builder import build_optimizer
+
+    cfg = dict(type="SGD", lr=0.1, momentum=0.0, weight_decay=5e-4,
+               param_groups=dict(norm_weight_decay=0.0, bias_lr_factor=2.0,
+                                 bias_weight_decay=0.0))
+    params = {
+        "cbl": {"kernel": jnp.ones((1, 1, 1, 2)), "scale": jnp.ones(2),
+                "bias": jnp.zeros(2)},
+        "head": {"kernel": jnp.ones((1, 1, 2, 1)), "bias": jnp.ones(1)},
+    }
+    opt = build_optimizer(cfg, params=params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    state = opt.init(params)
+    new_params, _ = opt.apply(params, grads, state, 0.1)
+
+    # conv kernel: wd 5e-4, lr 0.1 -> 1 - 0.1*(1 + 5e-4*1)
+    np.testing.assert_allclose(
+        np.asarray(new_params["cbl"]["kernel"]), 1 - 0.1 * (1 + 5e-4), rtol=1e-6)
+    # norm scale: wd 0 -> 1 - 0.1*1
+    np.testing.assert_allclose(np.asarray(new_params["cbl"]["scale"]), 0.9,
+                               rtol=1e-6)
+    # norm bias (param 0): wd 0, lr factor 1 -> 0 - 0.1*1
+    np.testing.assert_allclose(np.asarray(new_params["cbl"]["bias"]), -0.1,
+                               rtol=1e-6)
+    # conv bias: lr factor 2, wd 0 -> 1 - 0.2*1
+    np.testing.assert_allclose(np.asarray(new_params["head"]["bias"]), 0.8,
+                               rtol=1e-6)
+
+
 def test_step_warmup_const_matches_reference_statefulness():
     """Reference quirk (optim/lr_scheduler.py:44-48): MultiStepLR never resets
     the group lr after warmup, so a 'const' warmup stays at base*ratio
