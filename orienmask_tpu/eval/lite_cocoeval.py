@@ -46,16 +46,25 @@ class COCOGroundTruth:
         self.img_ids = sorted(self.images.keys())
 
     def ann_rle(self, ann):
-        """Segmentation of a GT ann as compressed RLE dict."""
+        """Segmentation of a GT ann as compressed RLE dict (cached).
+
+        Polygons go through the pycocotools-exact crossing rasterizer
+        (rle.polygons_to_rle) entirely in RLE space — no bitmap decode."""
+        cached = ann.get("_rle")
+        if cached is not None:
+            return cached
         seg = ann["segmentation"]
         im = self.images[ann["image_id"]]
         h, w = im["height"], im["width"]
         if isinstance(seg, list):
-            return rle_codec.encode(rle_codec.polygons_to_mask(seg, h, w))
-        if isinstance(seg.get("counts"), list):
-            return {"size": seg["size"],
-                    "counts": rle_codec._counts_to_string(np.asarray(seg["counts"]))}
-        return seg
+            out = rle_codec.polygons_to_rle(seg, h, w)
+        elif isinstance(seg.get("counts"), list):
+            out = {"size": seg["size"],
+                   "counts": rle_codec._counts_to_string(np.asarray(seg["counts"]))}
+        else:
+            out = seg
+        ann["_rle"] = out
+        return out
 
 
 def _bbox_iou_xywh(dt, gt, iscrowd):

@@ -58,6 +58,18 @@ def get_lib():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
         ]
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.om_poly_merge.restype = ctypes.c_int
+        lib.om_poly_merge.argtypes = [
+            ctypes.POINTER(ctypes.c_double), _i64p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _i64p, ctypes.c_int,
+        ]
+        lib.om_rle_iou.restype = None
+        lib.om_rle_iou.argtypes = [
+            _i64p, _i64p, ctypes.c_int, _i64p, _i64p, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing / build failure: numpy fallback
         print(f"[orienmask_tpu.native] native build unavailable ({e}); "
@@ -141,6 +153,64 @@ def rle_encode_batch(masks):
     for ln in lens:
         out.append(raw[p:p + int(ln)].decode())
         p += int(ln)
+    return out
+
+
+def poly_merge_counts(polygons, h, w):
+    """COCO polygon list -> merged raw RLE counts (int64 array), pycocotools
+    frPoly+merge semantics. Returns None when native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    polys = [np.ascontiguousarray(np.asarray(p, np.float64).ravel())
+             for p in polygons]
+    flat = (np.concatenate(polys) if polys
+            else np.zeros(0, np.float64))
+    n_verts = np.array([p.size // 2 for p in polys], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_verts)]).astype(np.int64)
+    cap = h * w + 2
+    out = np.empty(cap, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    m = lib.om_poly_merge(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offsets.ctypes.data_as(i64p), len(polys), h, w,
+        out.ctypes.data_as(i64p), cap)
+    if m < 0:
+        return None
+    return out[:m].copy()
+
+
+def rle_iou(rles_a, rles_b, iscrowd=None):
+    """Pairwise RLE IoU on lists of RLE dicts (compressed or raw counts)
+    without decoding. Returns (len_a, len_b) float64, or None when native
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..eval.rle import _raw_counts
+
+    n_a, n_b = len(rles_a), len(rles_b)
+    out = np.zeros((n_a, n_b), np.float64)
+    if n_a == 0 or n_b == 0:
+        return out
+    ca = [_raw_counts(r) for r in rles_a]
+    cb = [_raw_counts(r) for r in rles_b]
+    h = int(rles_a[0]["size"][0]) if isinstance(rles_a[0], dict) else None
+    if h is None:
+        return None
+    flat_a = np.ascontiguousarray(np.concatenate(ca), np.int64)
+    flat_b = np.ascontiguousarray(np.concatenate(cb), np.int64)
+    off_a = np.concatenate([[0], np.cumsum([len(c) for c in ca])]).astype(np.int64)
+    off_b = np.concatenate([[0], np.cumsum([len(c) for c in cb])]).astype(np.int64)
+    crowd = np.zeros(n_b, np.uint8)
+    if iscrowd is not None:
+        crowd = np.asarray(iscrowd, np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.om_rle_iou(
+        flat_a.ctypes.data_as(i64p), off_a.ctypes.data_as(i64p), n_a,
+        flat_b.ctypes.data_as(i64p), off_b.ctypes.data_as(i64p), n_b,
+        h, crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
 
 

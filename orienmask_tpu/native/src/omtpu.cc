@@ -114,6 +114,265 @@ int om_rle_encode_batch(const uint8_t* masks, int n, int h, int w, char* out,
   return total;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// pycocotools-exact polygon rasterization + RLE-space ops.
+//
+// The reference's GT masks and eval IoUs come from pycocotools' maskApi
+// (crossing-based rleFrPoly, run-sweep rleMerge/rleIou); these reimplement the
+// same documented algorithms so masks/IoUs are bit-identical to the official
+// toolchain without decoding full bitmaps.
+
+namespace {
+
+// One polygon -> toggle positions (column-major flat index) via the 5x
+// upsampled boundary walk; caller accumulates positions across polygons.
+void poly_toggle_positions(const double* xy, int k, int h, int w,
+                           std::vector<int64_t>& pos) {
+  if (k == 0) return;
+  const double scale = 5.0;
+  std::vector<int64_t> x(k + 1), y(k + 1);
+  for (int j = 0; j < k; ++j) x[j] = (int64_t)(scale * xy[2 * j + 0] + 0.5);
+  for (int j = 0; j < k; ++j) y[j] = (int64_t)(scale * xy[2 * j + 1] + 0.5);
+  x[k] = x[0];
+  y[k] = y[0];
+  // dense boundary samples, axis-major stepping with endpoint flip
+  std::vector<int64_t> u, v;
+  for (int j = 0; j < k; ++j) {
+    int64_t xs = x[j], xe = x[j + 1], ys = y[j], ye = y[j + 1];
+    int64_t dx = std::llabs(xe - xs), dy = std::llabs(ys - ye);
+    bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+    if (flip) {
+      std::swap(xs, xe);
+      std::swap(ys, ye);
+    }
+    if (dx >= dy) {
+      double s = dx ? (double)(ye - ys) / dx : 0.0;
+      for (int64_t d = 0; d <= dx; ++d) {
+        int64_t t = flip ? dx - d : d;
+        u.push_back(t + xs);
+        v.push_back((int64_t)(ys + s * t + 0.5));
+      }
+    } else {
+      double s = dy ? (double)(xe - xs) / dy : 0.0;
+      for (int64_t d = 0; d <= dy; ++d) {
+        int64_t t = flip ? dy - d : d;
+        v.push_back(t + ys);
+        u.push_back((int64_t)(xs + s * t + 0.5));
+      }
+    }
+  }
+  // column crossings at original-resolution pixel boundaries
+  for (size_t j = 1; j < u.size(); ++j) {
+    if (u[j] == u[j - 1]) continue;
+    double xd = (double)(u[j] < u[j - 1] ? u[j] : u[j] - 1);
+    xd = (xd + 0.5) / scale - 0.5;
+    if (std::floor(xd) != xd || xd < 0 || xd > w - 1) continue;
+    double yd = (double)(v[j] < v[j - 1] ? v[j] : v[j - 1]);
+    yd = (yd + 0.5) / scale - 0.5;
+    if (yd < 0) yd = 0;
+    else if (yd > h) yd = h;
+    yd = std::ceil(yd);
+    pos.push_back((int64_t)xd * h + (int64_t)yd);
+  }
+}
+
+// sorted toggle positions -> alternating counts. Toggles with even
+// multiplicity cancel; counts always extend to n (so a toggle landing exactly
+// at n is a no-op) — matching rleFrPoly's sentinel + delta-merge loop.
+void toggles_to_counts(std::vector<int64_t>& pos, int64_t n,
+                       std::vector<int64_t>& counts) {
+  std::sort(pos.begin(), pos.end());
+  counts.clear();
+  std::vector<int64_t> kept;
+  for (size_t i = 0; i < pos.size();) {
+    size_t j = i;
+    while (j < pos.size() && pos[j] == pos[i]) ++j;
+    if ((j - i) % 2 && pos[i] < n) kept.push_back(pos[i]);
+    i = j;
+  }
+  int64_t prev = 0;
+  for (int64_t t : kept) {
+    counts.push_back(t - prev);
+    prev = t;
+  }
+  counts.push_back(n - prev);
+}
+
+// run-sweep union/intersection of two alternating-counts RLEs (rleMerge)
+std::vector<int64_t> merge_two(const std::vector<int64_t>& A,
+                               const std::vector<int64_t>& B, int64_t n,
+                               bool intersect) {
+  std::vector<int64_t> out;
+  size_t ia = 0, ib = 0;
+  int64_t ra = A.empty() ? 0 : A[0];
+  int64_t rb = B.empty() ? 0 : B[0];
+  bool va = false, vb = false, v = false;
+  int64_t cc = 0, remaining = n;
+  while (remaining > 0) {
+    if (ra == 0) {  // advance A run (exhausted list keeps its last value)
+      if (ia + 1 < A.size()) {
+        ra = A[++ia];
+        va = !va;
+      } else {
+        ra = remaining;
+      }
+      continue;
+    }
+    if (rb == 0) {
+      if (ib + 1 < B.size()) {
+        rb = B[++ib];
+        vb = !vb;
+      } else {
+        rb = remaining;
+      }
+      continue;
+    }
+    int64_t c = std::min(std::min(ra, rb), remaining);
+    bool nv = intersect ? (va && vb) : (va || vb);
+    if (cc == 0) {  // very first segment
+      v = nv;
+      if (v) out.push_back(0);  // counts start with the zero-run
+    } else if (nv != v) {
+      out.push_back(cc);
+      cc = 0;
+      v = nv;
+    }
+    cc += c;
+    ra -= c;
+    rb -= c;
+    remaining -= c;
+  }
+  if (cc > 0) out.push_back(cc);
+  if (out.empty()) out.push_back(n);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Rasterize + union-merge COCO polygons (pycocotools frPoly + merge).
+// flat_xy: concatenated [x0 y0 x1 y1 ...] for all polygons; offsets (n+1) give
+// each polygon's start in VERTEX PAIRS. Writes alternating counts; returns m
+// or -1 if cap too small.
+int om_poly_merge(const double* flat_xy, const int64_t* offsets, int n_polys,
+                  int h, int w, int64_t* counts_out, int cap) {
+  const int64_t n = (int64_t)h * w;
+  std::vector<int64_t> acc;  // merged counts so far
+  bool first = true;
+  for (int p = 0; p < n_polys; ++p) {
+    int k = (int)(offsets[p + 1] - offsets[p]);
+    std::vector<int64_t> pos;
+    poly_toggle_positions(flat_xy + 2 * offsets[p], k, h, w, pos);
+    std::vector<int64_t> counts;
+    toggles_to_counts(pos, n, counts);
+    if (first) {
+      acc = std::move(counts);
+      first = false;
+    } else {
+      acc = merge_two(acc, counts, n, /*intersect=*/false);
+    }
+  }
+  if (first) {
+    acc.assign(1, n);
+  }
+  if ((int)acc.size() > cap) return -1;
+  std::copy(acc.begin(), acc.end(), counts_out);
+  return (int)acc.size();
+}
+
+// Pairwise RLE IoU without decoding (pycocotools rleIou): two-pointer run
+// sweep per pair, with a bbox-overlap prefilter. Inputs are concatenated
+// alternating counts + offsets (in COUNTS) for each list; all RLEs share one
+// (h, w). iscrowd (len n_b) switches union to area(a). Output (n_a, n_b)
+// row-major double.
+void om_rle_iou(const int64_t* counts_a, const int64_t* off_a, int n_a,
+                const int64_t* counts_b, const int64_t* off_b, int n_b,
+                int h, const uint8_t* iscrowd, double* out) {
+  // per-RLE area + bbox (x0, x1 columns; y0, y1 rows) from runs
+  auto stats = [h](const int64_t* c, int m, double* area, int64_t* bb) {
+    int64_t pos = 0, ar = 0;
+    int64_t x0 = INT64_MAX, x1 = -1, y0 = INT64_MAX, y1 = -1;
+    for (int i = 0; i < m; ++i) {
+      if (i % 2) {
+        int64_t s = pos, e = pos + c[i] - 1;
+        ar += c[i];
+        int64_t cs = s / h, ce = e / h;
+        x0 = std::min(x0, cs);
+        x1 = std::max(x1, ce);
+        if (ce > cs) {
+          y0 = 0;
+          y1 = h - 1;
+        } else {
+          y0 = std::min(y0, s % h);
+          y1 = std::max(y1, e % h);
+        }
+      }
+      pos += c[i];
+    }
+    *area = (double)ar;
+    bb[0] = x0;
+    bb[1] = x1;
+    bb[2] = y0;
+    bb[3] = y1;
+  };
+  std::vector<double> area_a(n_a), area_b(n_b);
+  std::vector<int64_t> bb_a(4 * n_a), bb_b(4 * n_b);
+  for (int i = 0; i < n_a; ++i)
+    stats(counts_a + off_a[i], (int)(off_a[i + 1] - off_a[i]), &area_a[i],
+          &bb_a[4 * i]);
+  for (int j = 0; j < n_b; ++j)
+    stats(counts_b + off_b[j], (int)(off_b[j + 1] - off_b[j]), &area_b[j],
+          &bb_b[4 * j]);
+
+  for (int i = 0; i < n_a; ++i) {
+    for (int j = 0; j < n_b; ++j) {
+      double& o = out[(size_t)i * n_b + j];
+      o = 0.0;
+      if (bb_a[4 * i + 1] < bb_b[4 * j + 0] ||
+          bb_b[4 * j + 1] < bb_a[4 * i + 0] ||
+          bb_a[4 * i + 3] < bb_b[4 * j + 2] ||
+          bb_b[4 * j + 3] < bb_a[4 * i + 2])
+        continue;  // disjoint bboxes -> IoU 0
+      const int64_t* ca = counts_a + off_a[i];
+      const int64_t* cb = counts_b + off_b[j];
+      int ma = (int)(off_a[i + 1] - off_a[i]);
+      int mb = (int)(off_b[j + 1] - off_b[j]);
+      // two-pointer sweep over runs
+      int64_t inter = 0;
+      int ia = 0, ib = 0;
+      int64_t ra = ma ? ca[0] : 0, rb = mb ? cb[0] : 0;
+      bool va = false, vb = false;
+      while (ia < ma && ib < mb) {
+        int64_t c = std::min(ra, rb);
+        if (va && vb) inter += c;
+        ra -= c;
+        rb -= c;
+        if (!ra) {
+          ++ia;
+          if (ia < ma) ra = ca[ia];
+          va = !va;
+        }
+        if (!rb) {
+          ++ib;
+          if (ib < mb) rb = cb[ib];
+          vb = !vb;
+        }
+      }
+      double uni = (iscrowd && iscrowd[j])
+                       ? area_a[i]
+                       : area_a[i] + area_b[j] - (double)inter;
+      o = uni > 0 ? (double)inter / uni : 0.0;
+    }
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Bilinear resize float32 HWC, half-pixel centers (align_corners=false matches
 // torch/cv2 INTER_LINEAR).
 void om_resize_bilinear(const float* src, int sh, int sw, int c, float* dst,

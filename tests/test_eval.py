@@ -38,8 +38,14 @@ def test_rle_uncompressed_counts():
 
 
 def test_polygon_mask():
+    # pycocotools frPoly semantics: an axis-aligned square [1,1]..[6,6] fills
+    # exactly the half-open pixel block [1:6, 1:6] (area 25, matching the
+    # COCO ann['area'] convention) — NOT the inclusive fill cv2.fillPoly does.
     m = rle.polygons_to_mask([[1, 1, 6, 1, 6, 6, 1, 6]], 8, 8)
-    assert m[3, 3] == 1 and m[0, 0] == 0 and m.sum() >= 25
+    assert m.sum() == 25
+    expect = np.zeros((8, 8), np.uint8)
+    expect[1:6, 1:6] = 1
+    np.testing.assert_array_equal(m, expect)
 
 
 def _toy_gt():
