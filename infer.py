@@ -1,6 +1,7 @@
 """Inference CLI (reference infer.py contract).
 
-Input modes: single image (-i), directory (-d [+ list file -l]), COCO json (-j);
+Input modes: single image (-i), directory (-d [+ list file -l]), COCO json (-j),
+video/frames stream (--video, double-buffered StreamingPipeline);
 optional benchmark warmup (-b), visualization (-v/-o/-s), COCO-format dump.
 The image->masks path runs as one fused XLA program (orienmask_tpu.pipeline).
 """
@@ -41,6 +42,12 @@ if __name__ == "__main__":
                         help="run with randomly initialized weights (no -w)")
     parser.add_argument("--profile", default=None, type=str,
                         help="capture a jax profiler trace of the main loop to this dir")
+    parser.add_argument("--video", default=None, type=str,
+                        help="video file or frames directory: streaming mode "
+                             "with a double-buffered in-flight pipeline "
+                             "(config stream_depth, e.g. the 736x736 config)")
+    parser.add_argument("--stream-depth", default=None, type=int,
+                        help="override the in-flight frame depth for --video")
     args = parser.parse_args()
 
     if args.config.endswith(".json"):
@@ -71,6 +78,92 @@ if __name__ == "__main__":
     )
     visualizer = build(config["visualizer"], visualizer_module) \
         if args.visualize else None
+
+    if args.video:
+        # Streaming mode (reference analogue: the infer.py -d loop,
+        # reference infer.py:144-172, pipelined): depth frames stay
+        # submitted-but-unfetched so host decode of frame i overlaps device
+        # compute of frames i+1..i+depth.
+        import time
+
+        from orienmask_tpu.stream import StreamingPipeline
+
+        depth = args.stream_depth or config.get("stream_depth", 2)
+        stream = StreamingPipeline(pipeline, depth=depth)
+
+        def frame_source():
+            if os.path.isdir(args.video):
+                names = sorted(os.listdir(args.video))
+                if args.num_images:
+                    names = names[: args.num_images]
+                for name in names:
+                    frame = cv2.imread(os.path.join(args.video, name))
+                    if frame is None:
+                        continue
+                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            else:
+                cap = cv2.VideoCapture(args.video)
+                n = 0
+                while cap.isOpened():
+                    ok, frame = cap.read()
+                    if not ok or (args.num_images and n >= args.num_images):
+                        break
+                    n += 1
+                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                cap.release()
+
+        to_video = bool(args.output) and args.output.endswith((".mp4", ".avi"))
+        if args.output and not to_video:
+            os.makedirs(args.output, exist_ok=True)
+        writer = None  # created lazily once the first frame size is known
+
+        src_frames = []  # parallel to the in-flight queue (lag = depth)
+        n_frames = 0
+        n_out = 0
+        t_start = time.perf_counter()
+
+        def emit(predictions):
+            global writer, n_out
+            src = src_frames.pop(0)
+            if args.visualize:
+                show = visualizer(predictions[0], src.astype(np.float32),
+                                  pipeline.pad_info)
+                if args.output:
+                    bgr = cv2.cvtColor(show, cv2.COLOR_RGB2BGR)
+                    if to_video:
+                        if writer is None:
+                            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+                            writer = cv2.VideoWriter(
+                                args.output, fourcc, 25.0,
+                                (show.shape[1], show.shape[0]))
+                        writer.write(bgr)
+                    else:
+                        cv2.imwrite(
+                            os.path.join(args.output, f"frame_{n_out:06d}.jpg"),
+                            bgr)
+            n_out += 1
+
+        for frame in frame_source():
+            if n_frames == 0 and args.benchmark:
+                for _ in range(10):  # warmup compile outside the timed loop
+                    pipeline.run_device(frame[None])
+                t_start = time.perf_counter()
+            stream.submit(frame[None])
+            src_frames.append(frame)
+            n_frames += 1
+            if stream.ready():
+                emit(stream.retrieve())
+        for predictions in stream.drain():
+            emit(predictions)
+        if writer is not None:
+            writer.release()
+        elapsed = time.perf_counter() - t_start
+        if n_frames == 0:
+            raise SystemExit(f"no frames decoded from {args.video}")
+        print(f"Streamed {n_frames} frames (depth={depth}) in {elapsed:.2f}s")
+        print("The average streaming time is %.2f ms (%.2f fps)"
+              % (1000 * elapsed / n_frames, n_frames / elapsed))
+        raise SystemExit(0)
 
     # Resolve input images
     coco_metrics = None

@@ -210,6 +210,14 @@ orienmask_yolo_coco_544_postprocess = dict(
     nms_pre=400,
     nms_post=100,
     orien_thresh=0.3,
+    # Exact top-nms_pre (det, class) selection: zero known divergence vs the
+    # reference's nonzero+topk (eval/orienmask_yolo_postprocess.py:102-110).
+    # The "twostage" mode (per-det max prefilter) is equal except at exact
+    # score ties but ~20% faster at bs=1 on chip (309 vs 245 FPS measured:
+    # top_k over the full 18207x80 pair grid is the cost). Test/val AP paths
+    # inherit "exact" from here; the speed-headline infer configs override to
+    # "twostage" (config_infer.py).
+    topk_mode="exact",
 )
 
 orienmask_yolo_coco_544_anchor4_postprocess = construct_config(

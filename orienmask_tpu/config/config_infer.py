@@ -18,7 +18,11 @@ orienmask_yolo_coco_544_anchor4_fpn_plus_infer = dict(
     compute_dtype="bfloat16",  # inference default: bf16 convs / fp32 accumulation
     model=orienmask_yolo_coco_544_anchor4_fpn_plus["model"],
     transform=transform_infer_544,
-    postprocess=orienmask_yolo_coco_544_anchor4_fpn_plus["postprocess"],
+    # twostage candidate selection: identical to "exact" except at exact score
+    # ties, ~20% faster at bs=1 (see config/base.py). AP-parity paths
+    # (test/val) keep the exact default.
+    postprocess=dict(orienmask_yolo_coco_544_anchor4_fpn_plus["postprocess"],
+                     topk_mode="twostage"),
     visualizer=coco_visualizer,
 )
 
@@ -29,7 +33,8 @@ orienmask_yolo_coco_544_anchor4_infer = construct_config(
 
 orienmask_yolo_coco_544_infer = construct_config(
     orienmask_yolo_coco_544_anchor4_infer,
-    update=dict(postprocess=orienmask_yolo_coco_544["postprocess"]),
+    update=dict(postprocess=dict(orienmask_yolo_coco_544["postprocess"],
+                                 topk_mode="twostage")),
 )
 
 # streaming/video config at 736x736 (double-buffered pipeline, orienmask_tpu.stream)
@@ -37,7 +42,8 @@ orienmask_yolo_coco_736_anchor4_fpn_plus_infer = construct_config(
     orienmask_yolo_coco_544_anchor4_fpn_plus_infer,
     update=dict(
         transform=transform_infer_736,
-        postprocess=orienmask_yolo_coco_736_anchor4_postprocess,
+        postprocess=dict(orienmask_yolo_coco_736_anchor4_postprocess,
+                         topk_mode="twostage"),
         stream_depth=2,
     ),
 )

@@ -7,9 +7,15 @@ the collate fn. Supports:
 
   * epoch-seeded shuffling (``set_epoch``, like DistributedSampler.set_epoch),
   * rank/world sharding for data-parallel hosts,
-  * worker-seeded augmentation RNG (deterministic given (seed, epoch, worker)).
+  * worker-seeded augmentation RNG (deterministic given (seed, epoch, idx)),
+  * BOUNDED in-flight dispatch: at most ``max_inflight`` samples are queued or
+    buffered at any time, so a slow consumer cannot grow the result queue
+    without bound (full-COCO epochs stay at flat RSS),
+  * ``spawn`` worker context by default: the parent holds JAX/XLA thread
+    pools, and POSIX ``fork`` from a multi-threaded process can deadlock the
+    child; the data modules import no JAX so spawned workers start cheaply.
 
-Workers are only forked when ``num_workers > 0``; otherwise loading is inline
+Workers are only started when ``num_workers > 0``; otherwise loading is inline
 (useful for tests and debugging).
 """
 
@@ -18,49 +24,42 @@ import multiprocessing as mp
 import numpy as np
 
 
-class _Worker(mp.Process):
-    def __init__(self, dataset, base_seed, task_q, result_q):
-        super().__init__(daemon=True)
-        self.dataset = dataset
-        self.base_seed = base_seed
-        self.task_q = task_q
-        self.result_q = result_q
-
-    def run(self):
-        # Workers are forked from a parent that may hold cv2/XLA thread pools;
-        # cv2's internal pool does not survive fork — disable it (per-op numpy
-        # work dominates anyway, and the parent machine is single-core).
+def _worker_loop(dataset, base_seed, task_q, result_q):
+    # cv2's internal thread pool is useless in a 1-sample-at-a-time worker
+    # (and does not survive fork); disable it.
+    try:
+        import cv2
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        job_id, idx, epoch = task
+        if getattr(dataset, "transform", None) is not None and \
+                hasattr(dataset.transform, "reseed"):
+            dataset.transform.reseed(
+                (base_seed * 1_000_003 + epoch * 97 + idx) % (2 ** 31)
+            )
         try:
-            import cv2
-            cv2.setNumThreads(0)
-        except Exception:
-            pass
-        while True:
-            task = self.task_q.get()
-            if task is None:
-                break
-            job_id, idx, epoch = task
-            if getattr(self.dataset, "transform", None) is not None and \
-                    hasattr(self.dataset.transform, "reseed"):
-                self.dataset.transform.reseed(
-                    (self.base_seed * 1_000_003 + epoch * 97 + idx) % (2 ** 31)
-                )
-            try:
-                sample = self.dataset[idx]
-                self.result_q.put((job_id, sample, None))
-            except Exception as e:  # surface worker errors in the parent
-                self.result_q.put((job_id, None, repr(e)))
+            sample = dataset[idx]
+            result_q.put((job_id, sample, None))
+        except Exception as e:  # surface worker errors in the parent
+            result_q.put((job_id, None, repr(e)))
 
 
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
                  collate_fn=None, drop_last=False, pad_last=False, seed=0,
-                 rank=0, world_size=1, **unused):
+                 rank=0, world_size=1, prefetch_factor=2, mp_context="spawn",
+                 **unused):
         # pad_last: wrap-pad the final batch to full batch_size (keeps compiled
         # shapes static); padded samples get info['_pad']=True so eval skips them.
-        # All sample jobs of an epoch are dispatched to the workers up front, so
-        # prefetch depth is bounded only by worker throughput (the queues hold
-        # transformed samples; at COCO sizes this is a few GB of headroom max).
+        # In-flight work is BOUNDED: at most ``max_inflight`` samples are
+        # dispatched-but-unconsumed, so worker prefetch cannot outrun the
+        # consumer and grow the result queue without bound (flat RSS on
+        # full-COCO epochs). ``prefetch_factor`` is per worker, like torch.
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -71,6 +70,10 @@ class DataLoader:
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
+        self.prefetch_factor = prefetch_factor
+        self.mp_context = mp_context
+        self.max_inflight = batch_size + max(1, num_workers) * prefetch_factor
+        self.inflight_peak = 0  # observability: max in-flight seen (tests)
         self.epoch = 0
         self._workers = []
         self._task_q = None
@@ -113,13 +116,20 @@ class DataLoader:
     def _ensure_workers(self):
         if self._workers or self.num_workers == 0:
             return
-        self._task_q = mp.Queue()
-        self._result_q = mp.Queue()
+        # spawn by default: the parent holds JAX/XLA + cv2 thread pools and
+        # fork from a multi-threaded process can deadlock the child
+        ctx = mp.get_context(self.mp_context)
+        self._task_q = ctx.Queue()
+        self._result_q = ctx.Queue()
         for _ in range(self.num_workers):
             # all workers share the loader seed: augmentation RNG is a pure
             # function of (seed, epoch, sample idx), independent of which
             # worker handles the sample
-            p = _Worker(self.dataset, self.seed, self._task_q, self._result_q)
+            p = ctx.Process(
+                target=_worker_loop,
+                args=(self.dataset, self.seed, self._task_q, self._result_q),
+                daemon=True,
+            )
             p.start()
             self._workers.append(p)
 
@@ -160,12 +170,21 @@ class DataLoader:
             return
 
         self._ensure_workers()
-        # dispatch all jobs up front; assemble in order with a reorder buffer
-        job = 0
-        for batch_idx in batches:
-            for idx in batch_idx:
-                self._task_q.put((job, int(idx), self.epoch))
-                job += 1
+        # windowed dispatch: keep at most max_inflight samples queued or in
+        # the reorder buffer; each consumed sample releases the next job
+        all_jobs = [int(idx) for batch_idx in batches for idx in batch_idx]
+        dispatched = 0
+        consumed = 0
+
+        def pump():
+            nonlocal dispatched
+            while (dispatched < len(all_jobs)
+                   and dispatched - consumed < self.max_inflight):
+                self._task_q.put((dispatched, all_jobs[dispatched], self.epoch))
+                dispatched += 1
+            self.inflight_peak = max(self.inflight_peak, dispatched - consumed)
+
+        pump()
         buf = {}
         next_job = 0
         for batch_idx in batches:
@@ -178,6 +197,8 @@ class DataLoader:
                     buf[jid] = sample
                 samples.append(buf.pop(next_job))
                 next_job += 1
+                consumed += 1
+                pump()
             yield finalize(samples, pad_counts.pop(0))
 
 

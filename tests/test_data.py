@@ -113,6 +113,30 @@ def test_dataloader_inline_and_workers(mini_coco):
     np.testing.assert_allclose(batches0[0]["bbox"], batches2[0]["bbox"], atol=1e-6)
 
 
+def test_dataloader_bounded_inflight_slow_consumer(mini_coco):
+    """A slow consumer must NOT let workers run ahead unboundedly: at most
+    ``max_inflight`` samples may be dispatched-but-unconsumed at any time
+    (the round-1 loader dispatched the whole epoch up front — unbounded
+    result-queue growth on full COCO)."""
+    import time
+
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    from functools import partial
+    cfn = partial(collate, max_instances=10)
+
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    collate_fn=cfn, seed=1, prefetch_factor=1)
+    assert dl.max_inflight == 2 + 2 * 1
+    n = 0
+    for _ in dl:
+        time.sleep(0.05)  # consumer slower than the 2 workers
+        n += 1
+    dl.shutdown()
+    assert n == len(dl)
+    assert 0 < dl.inflight_peak <= dl.max_inflight
+
+
 def test_dataloader_sharding(mini_coco):
     list_file, img_dir, anno_file = mini_coco
     ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
