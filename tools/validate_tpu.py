@@ -200,13 +200,166 @@ def check_pipeline():
           f"n={n} mask_mismatch_px={mask_mismatch}/{px}")
 
 
+def check_torch_oracle_544():
+    """Full-resolution torch-oracle golden ON CHIP (VERDICT r1 item 6).
+
+    The CPU suite proves 160^2 parity (tests/test_golden_asset.py); this
+    closes the resolution/backend gap: the 544^2 model + postprocess on the
+    REAL asset image, f32 and bf16 on-chip forward vs the torch oracle
+    (generated live, ~7s on this host) + sequential numpy postprocess.
+
+    With seeded random weights detection scores cluster within ~1e-3, so
+    detections are compared rank-agnostically: greedy (cls, IoU>=0.5,
+    score-close) bipartite matching, requiring >=90% (f32) / >=80% (bf16)
+    matched and bounded mask disagreement inside matched pairs.
+    """
+    import cv2
+    import torch
+
+    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests")
+    sys.path.insert(0, tests_dir)
+    from numpy_ref import reference_postprocess
+    from torch_ref import TorchOrienMaskFPNPlus
+
+    from orienmask_tpu.config.base import ANCHORS_MASK, ANCHORS_YOLOV4
+    from orienmask_tpu.models import OrienMaskYOLOFPNPlus
+    from orienmask_tpu.models.convert import torch_to_variables
+    from orienmask_tpu.models.layers import default_ctx
+    from orienmask_tpu.ops.postprocess import OrienMaskYOLOPostProcess
+
+    SIZE = 544
+    asset = "/root/reference/assets/000000163126.jpg"
+    img = cv2.cvtColor(cv2.imread(asset), cv2.COLOR_BGR2RGB)
+    x = cv2.resize(img, (SIZE, SIZE), interpolation=cv2.INTER_LINEAR)
+    x = x.astype(np.float32) / 255.0
+
+    torch.manual_seed(3)
+    tmodel = TorchOrienMaskFPNPlus(num_anchors=3, num_classes=80).eval()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    # Spread the head logits: untouched random weights give obj/cls logits
+    # within ~1e-3 of each other, so every candidate score ties and the NMS
+    # keep-set differs between ANY two compilations (pure rank noise, see
+    # this file's gotchas). Amplified final convs + random biases give
+    # distinct scores, making the detection comparison meaningful.
+    with torch.no_grad():
+        for head in (tmodel.bbox_head8, tmodel.bbox_head16, tmodel.bbox_head32):
+            head[1].weight.mul_(6.0)
+            head[1].bias.normal_(0, 1.0)
+    jmodel = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+    variables = torch_to_variables(jmodel, tmodel.state_dict())
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x.transpose(2, 0, 1))[None])
+    preds_np = [
+        (p[0][0].numpy().transpose(1, 2, 0), p[1][0].numpy().transpose(1, 2, 0))
+        for p in tout
+    ]
+    print(f"[{time.time()-t0:6.1f}s] torch oracle forward done", flush=True)
+
+    grids = [[SIZE // 32] * 2, [SIZE // 16] * 2, [SIZE // 8] * 2]
+    pp_kw = dict(grid_size=grids, image_size=[SIZE, SIZE],
+                 anchors=ANCHORS_YOLOV4, anchor_mask=ANCHORS_MASK,
+                 num_classes=80, conf_thresh=0.05, nms=dict(threshold=0.5),
+                 nms_pre=400, nms_post=100, orien_thresh=0.3,
+                 topk_mode="exact")
+    ref = reference_postprocess(
+        preds_np, grids, (SIZE, SIZE), ANCHORS_YOLOV4, ANCHORS_MASK, 80,
+        conf_thresh=0.05, nms_thresh=0.5, nms_pre=400, nms_post=100,
+        orien_thresh=0.3,
+    )
+    print(f"[{time.time()-t0:6.1f}s] numpy reference postprocess: "
+          f"{ref['bbox'].shape[0]} dets", flush=True)
+
+    def match_rate(got, tol_score, top_k=50):
+        """Greedy rank-agnostic matching: same cls, IoU>=0.5, close score.
+
+        The rate is measured over the oracle's ``top_k`` highest-scored
+        detections: candidates near the nms_post keep-boundary reorder under
+        ~1e-3 cross-backend logit differences (both keep-sets are 'correct'
+        there), so only the confident head of the list is a meaningful
+        parity signal."""
+        gb, rb = got["bbox"], ref["bbox"]
+        top = np.argsort(-rb[:, 4])[:top_k]
+        used = np.zeros(rb.shape[0], bool)
+        matched = 0
+        mask_err = []
+        for i in range(gb.shape[0]):
+            best, bj = -1.0, -1
+            for j in top:
+                if used[j] or got["cls"][i] != ref["cls"][j]:
+                    continue
+                if abs(gb[i, 4] - rb[j, 4]) > tol_score:
+                    continue
+                bx = gb[i, :4]
+                rx = rb[j, :4]
+                lo = np.maximum(bx[:2] - bx[2:] / 2, rx[:2] - rx[2:] / 2)
+                hi = np.minimum(bx[:2] + bx[2:] / 2, rx[:2] + rx[2:] / 2)
+                inter = np.prod(np.clip(hi - lo, 0, None))
+                union = bx[2] * bx[3] + rx[2] * rx[3] - inter
+                iou = inter / union if union > 0 else 0.0
+                if iou > best:
+                    best, bj = iou, j
+            if best >= 0.5:
+                used[bj] = True
+                matched += 1
+                mask_err.append(
+                    float((got["mask"][i] ^ ref["mask"][bj]).mean()))
+        rate = matched / min(top_k, max(1, rb.shape[0]))
+        return rate, (float(np.mean(mask_err)) if mask_err else 1.0)
+
+    # forward tolerances: heads are amplified 6x (see above), so the raw
+    # cross-backend logit difference scales with it — measured 1.3e-3
+    # unamplified f32, 6e-3 amplified; 7.7e-3 bf16 amplified.
+    for dtype, min_rate, fwd_tol in [(jnp.float32, 0.9, 2e-2),
+                                     (jnp.bfloat16, 0.85, 6e-2)]:
+        ctx = default_ctx(train=False, dtype=dtype)
+
+        @jax.jit
+        def fwd(v, xx):
+            return jmodel.apply(v["params"], v["batch_stats"], xx, ctx)[0]
+
+        out = fwd(variables, jnp.asarray(x)[None])
+        # forward parity on the bbox-head logits
+        d_fwd = max(
+            float(jnp.max(jnp.abs(out[i][0][0] - preds_np[i][0])))
+            for i in range(3)
+        )
+        pp = OrienMaskYOLOPostProcess(**pp_kw)
+        got = pp(out)[0]
+        rate, mask_err = match_rate(
+            {"bbox": got["bbox"], "cls": got["cls"], "mask": got["mask"]},
+            tol_score=0.02 if dtype == jnp.float32 else 0.1)
+        name = "f32" if dtype == jnp.float32 else "bf16"
+        check(f"544 oracle forward {name}", d_fwd < fwd_tol,
+              f"max_logit_diff={d_fwd:.2e} (tol {fwd_tol})")
+        check(f"544 oracle detections {name}", rate >= min_rate,
+              f"match_rate={rate:.2f} ({got['bbox'].shape[0]} vs "
+              f"{ref['bbox'].shape[0]} dets) mask_err={mask_err:.4f}")
+        if dtype == jnp.float32:
+            check(f"544 oracle masks {name}", mask_err < 1e-2,
+                  f"mean mask diff fraction={mask_err:.4f}")
+
+
 def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    checks = [
+        ("s2d", check_s2d_stem),
+        ("painter", check_painter),
+        ("painter_nonsquare", lambda: check_painter(size=(160, 224))),
+        ("mask_kernel", check_mask_kernel),
+        ("pipeline", check_pipeline),
+        ("oracle544", check_torch_oracle_544),
+    ]
     print(f"[{time.time()-t0:6.1f}s] devices: {jax.devices()}", flush=True)
-    check_s2d_stem()
-    check_painter()
-    check_painter(size=(160, 224))  # non-square shape coverage
-    check_mask_kernel()
-    check_pipeline()
+    for name, fn in checks:
+        if only and only not in name:
+            continue
+        fn()
     n = len(FAILURES)
     print(f"[{time.time()-t0:6.1f}s] {'ALL PASS' if n == 0 else f'{n} FAILURES: {FAILURES}'}")
     sys.exit(1 if n else 0)
