@@ -34,6 +34,8 @@ ap.add_argument("--accumulate", type=int, default=1)
 ap.add_argument("--batch-size", type=int, default=4)
 ap.add_argument("--val-freq", type=int, default=1)
 ap.add_argument("--classes", type=int, default=80)
+ap.add_argument("--lr", type=float, default=1e-3)
+ap.add_argument("--warmup-iter", type=int, default=4)
 args = ap.parse_args()
 
 root = args.root
@@ -112,10 +114,10 @@ cfg = dict(
                      anchor_mask=mask3, num_classes=80, conf_thresh=0.005,
                      nms=dict(type="batched_nms", threshold=0.5),
                      nms_pre=200, nms_post=50, orien_thresh=0.3),
-    optimizer=dict(type="SGD", lr=1e-3, momentum=0.9, weight_decay=5e-4),
+    optimizer=dict(type="SGD", lr=args.lr, momentum=0.9, weight_decay=5e-4),
     lr_scheduler=dict(type="StepWarmUpLR", warmup_type="linear",
-                      warmup_iter=4, warmup_ratio=0.1,
-                      milestones=[1000], gamma=0.1),
+                      warmup_iter=args.warmup_iter, warmup_ratio=0.1,
+                      milestones=[100000], gamma=0.1),
     val_gt_file=f"{root}/gt.json",
     log_dir=f"{root}/runs",
 )
