@@ -96,11 +96,101 @@ def assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
     )(anchor_idx.astype(jnp.int32), boxes, anchor_wh, field)
 
 
+def _mask_kernel_bitpack(aidx_ref, box_ref, na_ref, field_ref, packmat_ref,
+                         out_ref, *, block_h, image_h, image_w, orien_thresh):
+    """Predicate + IN-KERNEL bit-packing via an MXU matmul.
+
+    Mosaic cannot split the lane dimension in-register (no (H, W) ->
+    (H, W/8, 8) reshape), but packing is a linear map: multiplying the 0/1
+    predicate (block_h, W) by a (W, W/8) block-diagonal power-of-two matrix
+    sums each 8-column group into one byte (MSB-first, np.packbits layout).
+    All products/sums are integers <= 255, exactly representable in bf16
+    (8 mantissa bits) with f32 accumulation — the pack is exact. Cuts the
+    kernel's HBM output 8x (29.6 MB -> 3.7 MB per 100 dets at 544^2) and
+    removes the XLA-side convert + layout copy + pack reduction."""
+    fx = field_ref[0, 0, :, :]
+    fy = field_ref[0, 1, :, :]
+
+    row0 = pl.program_id(1) * block_h
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 0) + row0
+            ).astype(jnp.float32) * (1.0 / image_h)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 1).astype(
+        jnp.float32) * (1.0 / image_w)
+
+    k = pl.program_id(0)
+    cx = box_ref[k, 0]
+    cy = box_ref[k, 1]
+    bw = box_ref[k, 2]
+    bh = box_ref[k, 3]
+    naw = na_ref[k, 0]
+    nah = na_ref[k, 1]
+
+    mx = jnp.abs(fx * (naw * 0.5) + cols - cx) < orien_thresh * bw
+    my = jnp.abs(fy * (nah * 0.5) + rows - cy) < orien_thresh * bh
+    pred = (mx & my).astype(jnp.bfloat16)
+    packed = jnp.dot(pred, packmat_ref[...],
+                     preferred_element_type=jnp.float32)
+    out_ref[0] = packed.astype(jnp.int32).astype(jnp.uint8)
+
+
+def assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
+                             orien_thresh=0.3, block_h=136, interpret=False):
+    """Fused Pallas assembly + in-kernel bit-packing.
+
+    Same contract as ``assemble_masks`` but returns (K, H, W/8) uint8 packed
+    MSB-first (np.packbits layout). W must be a multiple of 8."""
+    a, two, h, w = field.shape
+    k = boxes.shape[0]
+    assert w % 8 == 0 and h % block_h == 0
+    wp = w // 8
+
+    packmat = np.zeros((w, wp), np.float32)
+    packmat[np.arange(w), np.arange(w) // 8] = _POW2[np.arange(w) % 8]
+    packmat = jnp.asarray(packmat, jnp.bfloat16)  # powers of two: exact in bf16
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # anchor_idx
+        grid=(k, h // block_h),
+        in_specs=[
+            pl.BlockSpec((k, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 2), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 2, block_h, w),
+                lambda ki, hi, aidx: (aidx[ki], 0, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((w, wp), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_h, wp), lambda ki, hi, aidx: (ki, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    kernel = functools.partial(
+        _mask_kernel_bitpack, block_h=block_h, image_h=h, image_w=w,
+        orien_thresh=orien_thresh,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, h, wp), jnp.uint8),
+        interpret=interpret,
+    )(anchor_idx.astype(jnp.int32), boxes, anchor_wh, field, packmat)
+
+
 def assemble_masks_packed(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
                           block_h=136, interpret=False):
-    """Pallas assembly + XLA bit-packing -> (K, H, ceil(W/8)) uint8."""
+    """Pallas assembly + bit-packing -> (K, H, ceil(W/8)) uint8.
+
+    Uses the fused in-kernel packing when W is 8-divisible (always for
+    /32-padded inputs); falls back to XLA packing otherwise."""
     from .maskops import pack_bits
 
+    if field.shape[-1] % 8 == 0 and not interpret:
+        return assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
+                                        orien_thresh, block_h)
     m = assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh,
                        block_h, interpret)
     return pack_bits(m.astype(bool))

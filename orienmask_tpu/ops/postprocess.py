@@ -64,6 +64,24 @@ class OrienMaskYOLOPostProcess:
         self.det_anchor_idx = np.concatenate(det_anchor)
         self.num_preds = int(self.det_anchor_idx.shape[0])
 
+        # Per-flat-prediction decode constants (grid cell, grid size): decoding
+        # happens AFTER candidate selection on the nms_pre gathered rows only,
+        # so these are gathered alongside (the round-1 design decoded all P
+        # predictions and materialized (P, C) conf twice — ~0.3 ms/frame of
+        # HBM traffic + badly-laid-out reductions at 544^2).
+        gx, gy, gnw, gnh = [], [], [], []
+        for (nh, nw), mask in zip(self.grid_hw, self.anchor_mask):
+            na = len(mask)
+            gy_s, gx_s = np.mgrid[0:nh, 0:nw]
+            gx.append(np.tile(gx_s.ravel(), na))
+            gy.append(np.tile(gy_s.ravel(), na))
+            gnw.append(np.full(na * nh * nw, nw, np.float32))
+            gnh.append(np.full(na * nh * nw, nh, np.float32))
+        self.det_grid_x = np.concatenate(gx).astype(np.float32)
+        self.det_grid_y = np.concatenate(gy).astype(np.float32)
+        self.det_grid_nw = np.concatenate(gnw)
+        self.det_grid_nh = np.concatenate(gnh)
+
         # Channel permutation taking scale-major orientation channels to global
         # anchor order: upsampled channel layout is [scale0 anchors, scale1, scale2],
         # each anchor contributing (x, y).
@@ -86,43 +104,67 @@ class OrienMaskYOLOPostProcess:
 
     # ------------------------------------------------------------------ decode
 
-    def _decode_scale(self, bbox, scale_idx):
-        """(H, W, A*(5+C)) -> coords (A*H*W, 4) normalized cxcywh, conf (A*H*W, C)."""
-        nh, nw = self.grid_hw[scale_idx]
-        mask = self.anchor_mask[scale_idx]
-        na = len(mask)
+    def _flat_head(self, pred_bboxes):
+        """3x (H, W, A*(5+C)) -> (P, 5+C) f32 raw head rows, scale-major then
+        anchor-major — the ONE materialized buffer candidate selection and
+        post-selection decode both read (flatten order matches the reference
+        concatenation, postprocess.py:59-63, for tie-breaking parity)."""
         c = self.num_classes
-        b = bbox.reshape(nh, nw, na, 5 + c).transpose(2, 0, 1, 3)  # (A,H,W,5+C)
+        rows = []
+        for i, bbox in enumerate(pred_bboxes):
+            nh, nw = self.grid_hw[i]
+            na = len(self.anchor_mask[i])
+            rows.append(
+                bbox.reshape(nh, nw, na, 5 + c)
+                .transpose(2, 0, 1, 3)
+                .reshape(-1, 5 + c)
+            )
+        return jnp.concatenate(rows, axis=0)
 
-        gx = jnp.arange(nw, dtype=jnp.float32)[None, None, :]
-        gy = jnp.arange(nh, dtype=jnp.float32)[None, :, None]
-        x = (jax.nn.sigmoid(b[..., 0]) + gx) / nw
-        y = (jax.nn.sigmoid(b[..., 1]) + gy) / nh
-        anchors = jnp.asarray(self.norm_anchors[mask])  # (A, 2)
-        w = jnp.exp(b[..., 2]) * anchors[:, 0][:, None, None]
-        h = jnp.exp(b[..., 3]) * anchors[:, 1][:, None, None]
-        obj = jax.nn.sigmoid(b[..., 4])
-        cls = jax.nn.sigmoid(b[..., 5:])
-        conf = cls * obj[..., None]
-        coords = jnp.stack([x, y, w, h], axis=-1).reshape(-1, 4)
-        return coords, conf.reshape(-1, c)
+    def _decode_rows(self, rows, det_idx):
+        """Decode ``nms_pre`` gathered head rows -> (n, 4) normalized cxcywh.
+
+        Same arithmetic as the reference decode (sigmoid(xy)+grid)/n,
+        exp(wh)*anchor (eval/orienmask_yolo_postprocess.py:133-136), applied
+        only to the selected candidates."""
+        gx = jnp.asarray(self.det_grid_x)[det_idx]
+        gy = jnp.asarray(self.det_grid_y)[det_idx]
+        nw = jnp.asarray(self.det_grid_nw)[det_idx]
+        nh = jnp.asarray(self.det_grid_nh)[det_idx]
+        awh = jnp.asarray(self.norm_anchors)[jnp.asarray(self.det_anchor_idx)[det_idx]]
+        x = (jax.nn.sigmoid(rows[:, 0]) + gx) / nw
+        y = (jax.nn.sigmoid(rows[:, 1]) + gy) / nh
+        w = jnp.exp(rows[:, 2]) * awh[:, 0]
+        h = jnp.exp(rows[:, 3]) * awh[:, 1]
+        return jnp.stack([x, y, w, h], axis=-1)
 
     # ----------------------------------------------------------- candidate sel
 
-    def _select_candidates(self, conf):
-        """Top ``nms_pre`` above-threshold (det, class) pairs from (P, C) scores."""
-        p, c = conf.shape
-        masked = jnp.where(conf > self.conf_thresh, conf, -1.0)
+    def _select_candidates(self, flat):
+        """Top ``nms_pre`` above-threshold (det, class) pairs from the (P, 5+C)
+        raw head buffer. Score = sigmoid(cls) * sigmoid(obj)."""
+        c = self.num_classes
         if self.topk_mode == "exact":
+            conf = jax.nn.sigmoid(flat[:, 5:]) * jax.nn.sigmoid(flat[:, 4:5])
+            masked = jnp.where(conf > self.conf_thresh, conf, -1.0)
             v, idx = jax.lax.top_k(masked.reshape(-1), self.nms_pre)
             det_idx = idx // c
             cls_idx = idx % c
         else:
-            # Two-stage: top nms_pre detections by per-det max, then top nms_pre
-            # pairs within. Equal to exact selection except at exact score ties.
-            det_max = jnp.max(masked, axis=1)
+            # Two-stage: top nms_pre detections by per-det max, then top
+            # nms_pre pairs within. Equal to exact selection except at exact
+            # score ties. The per-det max is computed WITHOUT materializing
+            # (P, C) scores: sigmoid is monotone and sigmoid(obj) >= 0, so
+            # max_c sigmoid(cls_c)*sigmoid(obj) == sigmoid(max_c cls_c)*
+            # sigmoid(obj) bit-for-bit (same final multiply).
+            det_max = jax.nn.sigmoid(jnp.max(flat[:, 5:], axis=1)) \
+                * jax.nn.sigmoid(flat[:, 4])
+            det_max = jnp.where(det_max > self.conf_thresh, det_max, -1.0)
             _, top_det = jax.lax.top_k(det_max, self.nms_pre)
-            sub = masked[top_det]  # (nms_pre, C)
+            sub_rows = flat[top_det]  # (nms_pre, 5+C)
+            sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
+                * jax.nn.sigmoid(sub_rows[:, 4:5])
+            sub = jnp.where(sub > self.conf_thresh, sub, -1.0)
             v, idx = jax.lax.top_k(sub.reshape(-1), self.nms_pre)
             det_idx = top_det[idx // c]
             cls_idx = idx % c
@@ -150,17 +192,12 @@ class OrienMaskYOLOPostProcess:
     # ----------------------------------------------------------------- runners
 
     def _detect_image(self, pred_bboxes):
-        """Decode + candidate selection + NMS for one image (no masks)."""
-        coords, confs = [], []
-        for i, bbox in enumerate(pred_bboxes):
-            co, cf = self._decode_scale(bbox, i)
-            coords.append(co)
-            confs.append(cf)
-        coords = jnp.concatenate(coords, axis=0)
-        conf = jnp.concatenate(confs, axis=0)
-
-        det_idx, cls_idx, scores, valid = self._select_candidates(conf)
-        cand_boxes = coords[det_idx]
+        """Candidate selection + per-candidate decode + NMS for one image
+        (no masks). Selection reads the raw head buffer once; box decode runs
+        only on the nms_pre selected rows."""
+        flat = self._flat_head(pred_bboxes)
+        det_idx, cls_idx, scores, valid = self._select_candidates(flat)
+        cand_boxes = self._decode_rows(flat[det_idx], det_idx)
         cand_anchor = jnp.asarray(self.det_anchor_idx)[det_idx]
         nms_scores = jnp.where(valid, scores, NEG_INF)
         keep_idx, keep_valid = batched_class_nms(

@@ -149,6 +149,17 @@ def check_mask_kernel(size=544):
     diff = int(jnp.sum(got.astype(jnp.int32) != want.astype(jnp.int32)))
     check("mask kernel vs XLA compare", diff == 0, f"mismatched px={diff}")
 
+    # in-kernel MXU bit-packing vs XLA pack of the plain kernel's output
+    from orienmask_tpu.ops.maskops import pack_bits
+    from orienmask_tpu.ops.pallas_masks import assemble_masks_bitpacked
+
+    packed = assemble_masks_bitpacked(
+        jnp.asarray(field), jnp.asarray(boxes), jnp.asarray(na[aidx]),
+        jnp.asarray(aidx))
+    want_packed = pack_bits(got.astype(bool))
+    dp = int(jnp.sum(packed.astype(jnp.int32) != want_packed.astype(jnp.int32)))
+    check("bit-packing mask kernel", dp == 0, f"mismatched bytes={dp}")
+
 
 def check_pipeline():
     from orienmask_tpu.config import (
