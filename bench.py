@@ -59,13 +59,18 @@ def main():
 
     from orienmask_tpu.utils.profiler import trace
 
+    # Median of several windows: device op time is stable run-to-run (profiler
+    # sums agree to <1%), but host dispatch through the relay adds multi-%
+    # jitter to any single window.
     n = 200
-    start = time.perf_counter()
+    rates = []
     with trace(os.environ.get("ORIENMASK_PROFILE_DIR")):
-        outs = [pipeline.run_device(dev_image) for _ in range(n)]
-        jax.block_until_ready(outs)
-    elapsed = time.perf_counter() - start
-    fps = n / elapsed
+        for _ in range(5):
+            start = time.perf_counter()
+            outs = [pipeline.run_device(dev_image) for _ in range(n)]
+            jax.block_until_ready(outs)
+            rates.append(n / (time.perf_counter() - start))
+    fps = sorted(rates)[len(rates) // 2]
     # prove the host path works end-to-end (outside the timed region)
     np.asarray(outs[-1]["mask"])
     np.asarray(outs[-1]["bbox"])

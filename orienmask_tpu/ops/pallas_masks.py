@@ -180,17 +180,127 @@ def assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
     )(anchor_idx.astype(jnp.int32), boxes, anchor_wh, field, packmat)
 
 
+def _mask_kernel_anchor(aidx_ref, box_ref, anchor_ref, field_ref, packmat_ref,
+                        out_ref, *, block_h, image_h, image_w, orien_thresh,
+                        n_dets):
+    """Anchor-resident formulation: one grid step per (row-block, anchor),
+    looping detections in-kernel with predicated compute + stores.
+
+    The per-detection grid (``_mask_kernel_bitpack``) re-DMAs the detection's
+    (2, block_h, W) field slice for every detection — ~K * 2*H*W*4B (237 MB at
+    K=100, 544^2) of HBM reads.  Here each field block is loaded once per
+    anchor (A * 2*H*W*4B = 21 MB) while the output block stays VMEM-resident
+    across the inner anchor steps; each detection's rows are written exactly
+    once, by its own anchor's pass."""
+    hi = pl.program_id(0)
+    a = pl.program_id(1)
+    fx = field_ref[0, 0, :, :]
+    fy = field_ref[0, 1, :, :]
+
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 0)
+            + hi * block_h).astype(jnp.float32) * (1.0 / image_h)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 1).astype(
+        jnp.float32) * (1.0 / image_w)
+    packmat = packmat_ref[...]
+
+    # All detections of one anchor share (naw, nah), so the per-pixel sample
+    # positions gx/gy are computed ONCE per grid step; the per-detection body
+    # is four plane-vs-scalar compares + the pack matmul.  |g - c| < t*b is
+    # evaluated as the identical two-sided compare (c - t*b < g < c + t*b is
+    # NOT used: t*b rounding must match the reference's |g-c| < t*b exactly).
+    gxw = fx * (anchor_ref[a, 0] * 0.5) + cols
+    gyh = fy * (anchor_ref[a, 1] * 0.5) + rows
+
+    def body(k, carry):
+        @pl.when(aidx_ref[k] == a)
+        def _():
+            cx = box_ref[k, 0]
+            cy = box_ref[k, 1]
+            bw = box_ref[k, 2]
+            bh = box_ref[k, 3]
+            mx = jnp.abs(gxw - cx) < orien_thresh * bw
+            my = jnp.abs(gyh - cy) < orien_thresh * bh
+            pred = (mx & my).astype(jnp.bfloat16)
+            packed = jnp.dot(pred, packmat, preferred_element_type=jnp.float32)
+            out_ref[pl.dslice(k, 1)] = packed.astype(jnp.int32).astype(
+                jnp.uint8)[None]
+
+        return carry
+
+    jax.lax.fori_loop(0, n_dets, body, 0)
+
+
+def assemble_masks_anchor_resident(field, boxes, anchor_wh, anchor_idx,
+                                   orien_thresh=0.3, block_h=136,
+                                   interpret=False):
+    """Anchor-resident fused assembly + in-kernel bit-packing.
+
+    Same contract as ``assemble_masks_bitpacked`` — returns (K, H, W/8) uint8
+    packed MSB-first — with one extra requirement: ``anchor_wh[k]`` must equal
+    a per-anchor table row ``table[anchor_idx[k]]`` (true for every real
+    caller: sizes come from ``norm_anchors[anchor_idx]``).  The kernel hoists
+    the anchor-dependent per-pixel sample positions out of the detection loop
+    on that invariant.  Field is read once per anchor instead of once per
+    detection (~10x less HBM traffic at K=100)."""
+    a, two, h, w = field.shape
+    k = boxes.shape[0]
+    assert w % 8 == 0 and h % block_h == 0
+    wp = w // 8
+
+    packmat = np.zeros((w, wp), np.float32)
+    packmat[np.arange(w), np.arange(w) // 8] = _POW2[np.arange(w) % 8]
+    packmat = jnp.asarray(packmat, jnp.bfloat16)  # powers of two: exact in bf16
+
+    # Per-ANCHOR norm sizes: every detection of an anchor carries the same
+    # (w, h), so scatter the per-det table down to (A, 2) — the kernel hoists
+    # the anchor-dependent per-pixel work out of the detection loop.
+    aidx32 = anchor_idx.astype(jnp.int32)
+    anchor_table = jnp.zeros((a, 2), anchor_wh.dtype).at[aidx32].set(anchor_wh)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # anchor_idx
+        grid=(h // block_h, a),  # anchor innermost: output block stays resident
+        in_specs=[
+            pl.BlockSpec((k, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((a, 2), lambda *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 2, block_h, w),
+                lambda hi, ai, aidx: (ai, 0, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((w, wp), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k, block_h, wp), lambda hi, ai, aidx: (0, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    kernel = functools.partial(
+        _mask_kernel_anchor, block_h=block_h, image_h=h, image_w=w,
+        orien_thresh=orien_thresh, n_dets=k,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, h, wp), jnp.uint8),
+        interpret=interpret,
+    )(aidx32, boxes, anchor_table, field, packmat)
+
+
 def assemble_masks_packed(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
                           block_h=136, interpret=False):
     """Pallas assembly + bit-packing -> (K, H, ceil(W/8)) uint8.
 
-    Uses the fused in-kernel packing when W is 8-divisible (always for
+    Uses the anchor-resident fused kernel when W is 8-divisible (always for
     /32-padded inputs); falls back to XLA packing otherwise."""
     from .maskops import pack_bits
 
     if field.shape[-1] % 8 == 0 and not interpret:
-        return assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
-                                        orien_thresh, block_h)
+        return assemble_masks_anchor_resident(
+            field, boxes, anchor_wh, anchor_idx, orien_thresh, block_h)
     m = assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh,
                        block_h, interpret)
     return pack_bits(m.astype(bool))

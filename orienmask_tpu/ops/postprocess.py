@@ -140,6 +140,28 @@ class OrienMaskYOLOPostProcess:
 
     # ----------------------------------------------------------- candidate sel
 
+    @staticmethod
+    def _topk_split(x, k, nsplit=2):
+        """Exact top-k via per-half top-k + merge.
+
+        Any partition of x preserves the global top-k multiset (every global
+        top-k element is in its own part's top-k), so two smaller sorts + an
+        (nsplit*k,) merge replace one large sort.  Tie-breaking: parts are
+        contiguous ranges and lax.top_k breaks ties by lower index, so the
+        merged (value, part-local lower index) order equals the global
+        lower-index order — bit-identical results to lax.top_k(x, k)."""
+        n = x.shape[0]
+        bound = -(-n // nsplit)
+        vs, is_ = [], []
+        for s in range(nsplit):
+            lo = s * bound
+            hi = min(n, lo + bound)
+            v, i = jax.lax.top_k(x[lo:hi], min(k, hi - lo))
+            vs.append(v)
+            is_.append(i + lo)
+        v2, j = jax.lax.top_k(jnp.concatenate(vs), k)
+        return v2, jnp.concatenate(is_)[j]
+
     def _select_candidates(self, flat):
         """Top ``nms_pre`` above-threshold (det, class) pairs from the (P, 5+C)
         raw head buffer. Score = sigmoid(cls) * sigmoid(obj)."""
@@ -165,7 +187,7 @@ class OrienMaskYOLOPostProcess:
             sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
                 * jax.nn.sigmoid(sub_rows[:, 4:5])
             sub = jnp.where(sub > self.conf_thresh, sub, -1.0)
-            v, idx = jax.lax.top_k(sub.reshape(-1), self.nms_pre)
+            v, idx = self._topk_split(sub.reshape(-1), self.nms_pre)
             det_idx = top_det[idx // c]
             cls_idx = idx % c
         valid = v > self.conf_thresh
