@@ -30,10 +30,18 @@ class SGD:
             "step": jnp.zeros((), jnp.int32),
         }
 
-    def apply(self, params, grads, state, lr):
-        """Returns (new_params, new_state). ``lr`` is the already-scheduled rate."""
+    def apply(self, params, grads, state, lr, update_gate=None):
+        """Returns (new_params, new_state). ``lr`` is the already-scheduled rate.
+
+        ``update_gate`` (scalar bool, optional): when False the whole update —
+        param, momentum buffer AND step counter — is a no-op.  The gate is a
+        per-element ``where`` fused into the one elementwise pass over the
+        leaves, NOT a ``lax.cond``: a cond here costs ~1 ms/step on chip
+        (fusion barrier around the branch), the fused selects are free.  Used
+        by the train step's NaN guard (trainer/train_state.py)."""
         m = self.momentum
         first = state["step"] == 0
+        gate = None if update_gate is None else jnp.asarray(update_gate)
 
         def leaf(p, g, buf, lrf, wdf, frozen):
             d = g + wdf * p
@@ -41,6 +49,8 @@ class SGD:
             upd = lr * lrf * new_buf
             if frozen:
                 return p, jnp.zeros_like(buf)
+            if gate is not None:
+                return jnp.where(gate, p - upd, p), jnp.where(gate, new_buf, buf)
             return p - upd, new_buf
 
         lrf_tree = self.lr_factors or jax.tree_util.tree_map(lambda _: 1.0, params)
@@ -61,8 +71,9 @@ class SGD:
             np_, nb = leaf(p, g, b, lf, wf, fz)
             new_p.append(np_)
             new_b.append(nb)
+        step_inc = 1 if gate is None else gate.astype(jnp.int32)
         return (
             jax.tree_util.tree_unflatten(treedef, new_p),
             {"momentum": jax.tree_util.tree_unflatten(treedef, new_b),
-             "step": state["step"] + 1},
+             "step": state["step"] + step_inc},
         )

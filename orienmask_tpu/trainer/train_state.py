@@ -71,9 +71,28 @@ def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
         )(params, stats, batch)
         loss_log = dict(loss_log, loss=loss_val)
 
+        # Per-step on-device NaN guard: a non-finite microbatch contributes
+        # nothing — its grads are dropped, the optimizer update is gated off
+        # (a fused per-element select, NOT a lax.cond: the cond costs ~1 ms
+        # of lost fusion on chip) and the BN stats keep their previous value
+        # — so state NEVER contains a non-finite value and the temp
+        # checkpoint stays resumable.  The host still sees the NaN loss in
+        # the drained logs and aborts with the reference's message
+        # (trainer.py), it just aborts from an intact state instead of a
+        # poisoned one.  ``skipped`` is logged for the loss-finite-but-
+        # grads-not case the reference's loss check would miss.
+        finite = jnp.isfinite(loss_val)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(leaf))
+        loss_log = dict(loss_log, skipped=1.0 - finite.astype(jnp.float32))
+        new_stats = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_stats, stats
+        )
+
         if accumulate > 1:
             grads = jax.tree_util.tree_map(
-                lambda a, g: a + g, state["grad_acc"], grads
+                lambda a, g: a + jnp.where(finite, g, jnp.zeros_like(g)),
+                state["grad_acc"], grads
             )
 
         def apply_opt(_):
@@ -88,11 +107,17 @@ def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
             return params, state["opt_state"], (grads if accumulate > 1 else None)
 
         if accumulate > 1:
+            # Accumulated grads are finite by construction (bad microbatches
+            # contribute zeros above), so only do_step gates the application.
+            # cond (not a gate) is right here: on the accumulate-1 microbatches
+            # it skips the whole optimizer pass, which outweighs its overhead.
             new_params, new_opt, new_acc = jax.lax.cond(do_step, apply_opt, skip_opt, None)
             new_state = {"params": new_params, "batch_stats": new_stats,
                          "opt_state": new_opt, "grad_acc": new_acc}
         else:
-            new_params, new_opt, _ = apply_opt(None)
+            new_params, new_opt = optimizer.apply(
+                params, grads, state["opt_state"], lr, update_gate=finite
+            )
             new_state = {"params": new_params, "batch_stats": new_stats,
                          "opt_state": new_opt}
         return new_state, loss_log

@@ -7,8 +7,12 @@ keep the dispatch pipeline full), NaN abort, tensorboard, COCO validation.
 NaN semantics: the reference checks ``isfinite(loss)`` every batch, which forces
 a device sync per step; here logs are drained every ``writer_freq`` steps, so a
 NaN aborts within one logging window instead of one step — the async dispatch
-pipeline stays full in exchange.  Use utils.debug.enable_nan_debugging() to trap
-the exact op when hunting one down.
+pipeline stays full in exchange.  The jitted step itself carries an on-device
+guard (train_state.py): a non-finite microbatch updates nothing (grads dropped,
+optimizer skipped, BN stats held), so every step in the window after the NaN is
+a harmless no-op-or-normal step and the state the abort leaves behind — and the
+temp checkpoint ``-r`` resumes from — is always finite.  Use
+utils.debug.enable_nan_debugging() to trap the exact op when hunting one down.
 """
 
 import os
@@ -100,6 +104,12 @@ class Trainer(BaseTrainer):
         def drain():
             for step_idx, log in pending:
                 host = {k: float(v) for k, v in jax.device_get(log).items()}
+                if host.get("skipped", 0) > 0 and np.isfinite(host["loss"]):
+                    # finite loss but non-finite grads: the on-device guard
+                    # dropped the update (train_state.py); surface it.
+                    self.logger.warning(
+                        f"non-finite gradients at batch {step_idx}: "
+                        "update skipped by the NaN guard")
                 if not np.isfinite(host["loss"]):
                     self.logger.error(
                         "Error: nan or inf found. Training stops at epoch "

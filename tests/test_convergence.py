@@ -97,7 +97,7 @@ def test_train_step_bfloat16(slim_backbone):
     optimizer = SGD(lr=1e-4, momentum=0.9)
     mesh = data_mesh(n_devices=1)
     step_fn, init_state = make_train_step(
-        model, loss, optimizer, mesh, size, compute_dtype=jnp.bfloat16)
+        model, loss, optimizer, mesh, compute_dtype=jnp.bfloat16)
     state = init_state(variables)
     rng = np.random.default_rng(0)
     batch = {
@@ -196,3 +196,62 @@ def test_gradient_accumulation_mechanics(slim_backbone):
                     jax.tree_util.tree_leaves(state["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_nan_guard_skips_update_keeps_state_finite(slim_backbone):
+    """On-device NaN guard (train_state.py): a batch that produces a
+    non-finite loss updates NOTHING — params, momentum and BN stats are
+    bit-identical to before the step — and the next finite batch trains
+    normally.  The logged loss still carries the NaN so the host-side abort
+    (trainer.py, reference parity) fires, but from an intact state."""
+    from orienmask_tpu.models import OrienMaskYOLOFPNPlus
+    from orienmask_tpu.ops.loss import OrienMaskYOLOMultiScaleLoss
+    from orienmask_tpu.optim import SGD
+    from orienmask_tpu.parallel.mesh import data_mesh, shard_batch
+    from orienmask_tpu.trainer.train_state import make_train_step
+
+    size = 64
+    grids = [[size // 32] * 2, [size // 16] * 2, [size // 8] * 2]
+    anchors = [[4, 6], [8, 10], [12, 8], [10, 20], [20, 16], [18, 36],
+               [36, 28], [48, 60], [60, 50]]
+    model = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=8)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    loss = OrienMaskYOLOMultiScaleLoss(
+        grid_size=grids, image_size=[size, size], anchors=anchors,
+        anchor_mask=[[6, 7, 8], [3, 4, 5], [0, 1, 2]], num_classes=8,
+        weight=[1, 1, 1, 1, 1, 20, 20], scales_weight=[1, 1, 1],
+        obj_ignore_threshold=0.7, target_chunk=4)
+    optimizer = SGD(lr=1e-3, momentum=0.9)
+    mesh = data_mesh(n_devices=1)
+    step_fn, init_state = make_train_step(model, loss, optimizer, mesh)
+    state = init_state(variables)
+
+    def mk_batch(poison):
+        r = np.random.default_rng(3)
+        img = r.standard_normal((1, size, size, 3)).astype(np.float32)
+        if poison:
+            img[0, 5, 5, 0] = np.inf
+        return shard_batch({
+            "image": img,
+            "bbox": np.array([[[0.5, 0.5, 0.4, 0.4]] + [[0, 0, 0, 0]] * 3],
+                             np.float32),
+            "cls": np.zeros((1, 4), np.int32),
+            "mask": np.ones((1, 4, size, size), bool),
+            "valid": np.array([[True, False, False, False]]),
+        }, mesh)
+
+    snap = jax.tree_util.tree_map(np.asarray, state)
+    state, logs = step_fn(state, mk_batch(poison=True), 1e-3, True)
+    assert not np.isfinite(float(logs["loss"]))  # host abort still sees it
+    for a, b in zip(jax.tree_util.tree_leaves(snap),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    state, logs = step_fn(state, mk_batch(poison=False), 1e-3, True)
+    assert np.isfinite(float(logs["loss"]))
+    p_before = jax.tree_util.tree_leaves(snap["params"])
+    p_after = jax.tree_util.tree_leaves(state["params"])
+    assert any(not np.array_equal(a, np.asarray(b))
+               for a, b in zip(p_before, p_after))
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert np.isfinite(np.asarray(leaf)).all()
