@@ -141,6 +141,19 @@ def _phase_kernel_im(k):
     return blocks.transpose(0, 1, 4, 2, 3, 5).reshape(4, 4, cin, 4 * cout)
 
 
+def _phase_kernel_im_z(k):
+    """Master (3,3,cin,cout) stride-1 kernel -> (2,2,4cin,4cout) kernel over a
+    pre-phased input z (layers.phase_resize: z[P,Q,(a,b,c)] = pad1(x)[2P+a,
+    2Q+b, c]).  Tap (A,B) of the 2x2 VALID conv reads z row P=I+A, i.e. the
+    (si,ti)=(2A+a, 2B+b) tap of the folded image kernel `_phase_kernel_im`:
+    a pure index repack, identical arithmetic.  Used by the fused inference
+    pipeline, which gets z for free out of the resize matmuls."""
+    k1p = _phase_kernel_im(k)                       # (4, 4, cin, 4cout)
+    cin, cout4 = k1p.shape[2], k1p.shape[3]
+    return k1p.reshape(2, 2, 2, 2, cin, cout4) \
+        .transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * cin, cout4)
+
+
 def _phase_kernel_1x1(k):
     """Master (1,1,cin,cout) kernel -> (1,1,4cin,4cout) block-diagonal phase
     kernel (1x1 convs mix no space: each phase maps to itself)."""
@@ -305,17 +318,31 @@ class DarkNet53(Module):
     def fold(self, params, stats):
         return {n: getattr(self, n).fold(params[n], stats[n]) for n in self.stage_names}
 
-    def apply_folded(self, folded, x, ctx):
+    def apply_folded(self, folded, x, ctx, phase_hw=None):
+        """``phase_hw=(h2, w2)`` marks ``x`` as a pre-phased input z from
+        layers.phase_resize (4*3=12 channels, spatial padded), where (h2, w2)
+        is the half-resolution grid (e.g. (272, 272) for a 544² network):
+        conv1 then runs as a 2x2 VALID conv (`_phase_kernel_im_z`) and the
+        rest of the phase stem is unchanged."""
         feats = {}
         names = list(self.stage_names)
-        if self._use_s2d(x):
+        if phase_hw is not None or self._use_s2d(x):
             dtype = ctx["dtype"]
-            k1p = _phase_kernel_im(folded["conv1"]["kernel"])
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype), k1p.astype(dtype), window_strides=(2, 2),
-                padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if phase_hw is not None:
+                h2, w2 = phase_hw
+                k1z = _phase_kernel_im_z(folded["conv1"]["kernel"])
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dtype), k1z.astype(dtype), window_strides=(1, 1),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )[:, :h2, :w2]
+            else:
+                k1p = _phase_kernel_im(folded["conv1"]["kernel"])
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dtype), k1p.astype(dtype), window_strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             y = leaky_relu(y + jnp.tile(folded["conv1"]["bias"], 4).astype(y.dtype))
             k2p = _phase_kernel_s2_phase_out(folded["conv2"][0]["kernel"])
             zp = self._conv_phase_down(y, k2p, dtype)

@@ -279,6 +279,46 @@ def upsample_matrix(out_size, in_size, align_corners=False):
     return m
 
 
+def phase_resize(x, out_h, out_w, align_corners=False, pad_mult=4):
+    """Bilinear-resize NHWC ``x`` to (out_h, out_w) AND space-to-depth the
+    result (with the stride-2 conv's pad-1 halo) in the same two MXU matmuls.
+
+    Returns z of shape (B, Hp, Wp, 4C) with channel order (a, b, c) where
+    z[:, P, Q, (a, b, c)] = pad1(resize(x))[2P + a, 2Q + b, c] for
+    P < out_h//2 + 1, zero beyond (spatial dims padded up to a multiple of
+    ``pad_mult`` — odd 273² tiles ~70% slower than 276² on a v5e, see
+    tools/bench_stemconv2.py).  A stride-2 pad-1 conv over the resized image
+    == a 2x2 VALID conv over z (darknet.py ``_phase_kernel_im_z``), so the
+    phase split costs no layout pass at all: each phase's rows/cols are just
+    a row slice of the resize matrices, the total matmul work is identical to
+    the plain resize.  Zero rows stand in for the conv padding, which is
+    exact when normalization happens BEFORE this call (bilinear rows sum to
+    1, so per-channel affine commutes with the resize).
+    """
+    in_h, in_w = x.shape[1], x.shape[2]
+    ph, pw = out_h // 2 + 1, out_w // 2 + 1
+    hp = -(-ph // pad_mult) * pad_mult
+    wp = -(-pw // pad_mult) * pad_mult
+
+    def phase_mats(out_size, in_size, n, npad):
+        m = np.pad(upsample_matrix(out_size, in_size, align_corners),
+                   ((1, 1), (0, 0)))
+        stacked = np.zeros((2, npad, in_size), np.float32)
+        stacked[0, :n] = m[0::2]
+        stacked[1, :n] = m[1::2]
+        return jnp.asarray(stacked)
+
+    mh = phase_mats(out_h, in_h, ph, hp)   # (2, Hp, in_h)
+    mw = phase_mats(out_w, in_w, pw, wp)   # (2, Wp, in_w)
+    t = jnp.einsum("aPh,bhwc->baPwc", mh, x,
+                   preferred_element_type=jnp.float32)
+    z = jnp.einsum("BQw,baPwc->baPBQc", mw, t,
+                   preferred_element_type=jnp.float32)
+    b, c = x.shape[0], x.shape[3]
+    # (b, a, P, B, Q, c) -> (b, P, Q, a, B, c) -> (b, P, Q, 4c)
+    return z.transpose(0, 2, 4, 1, 3, 5).reshape(b, hp, wp, 4 * c)
+
+
 def bilinear_resize(x, out_h, out_w, align_corners=False):
     """Bilinear resize of NHWC ``x`` to (out_h, out_w) via two MXU matmuls."""
     in_h, in_w = x.shape[1], x.shape[2]

@@ -176,8 +176,9 @@ class OrienMaskYOLOFPNPlus(_BaseOrienMask):
         )
         return ((bbox32, orien32), (bbox16, orien16), (bbox8, orien8)), new_stats
 
-    def apply_folded(self, folded, x, ctx):
-        x32, x16, x8, x4 = self.backbone.apply_folded(folded["backbone"], x, ctx)
+    def apply_folded(self, folded, x, ctx, phase_hw=None):
+        x32, x16, x8, x4 = self.backbone.apply_folded(
+            folded["backbone"], x, ctx, phase_hw=phase_hw)
 
         def run(name, inp):
             return getattr(self, name).apply_folded(folded[name], inp, ctx)

@@ -38,11 +38,35 @@ class InferencePipeline:
         self.pad_info = (0, 0, 0, 0, h, w)
 
     def _build(self, in_shape):
+        from .models.layers import phase_resize
+
+        h, w = self.transform.size
+        # Fused phase resize: when the backbone runs its space-to-depth stem,
+        # the resize matmuls emit the stem's phase layout directly (a row
+        # slice of the resize matrices — same FLOPs, layers.phase_resize) and
+        # conv1 runs as the cheaper 2x2x12 even-spatial conv
+        # (darknet._phase_kernel_im_z).  Normalization moves BEFORE the
+        # resize, which commutes (per-channel affine; bilinear rows sum to 1)
+        # and keeps the z zero-padding exact.
+        use_phase = (
+            getattr(getattr(self.model, "backbone", None), "s2d_stem", False)
+            and h % 4 == 0 and w % 4 == 0
+            and self.transform.interpolation == "bilinear"
+        )
+
         def run(folded, image_u8):
             x = image_u8.astype(jnp.float32)
-            x = self.transform.apply(x)
             ctx = default_ctx(train=False, dtype=self.dtype)
-            predict = self.model.apply_folded(folded, x, ctx)
+            if use_phase:
+                mean = jnp.asarray(self.transform.mean)
+                std = jnp.asarray(self.transform.std)
+                z = phase_resize((x - mean) / std, h, w,
+                                 self.transform.align_corners)
+                predict = self.model.apply_folded(
+                    folded, z, ctx, phase_hw=(h // 2, w // 2))
+            else:
+                x = self.transform.apply(x)
+                predict = self.model.apply_folded(folded, x, ctx)
             return self.postprocess._run_batch(predict)
 
         return jax.jit(run)

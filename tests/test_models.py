@@ -204,3 +204,41 @@ def test_export_torch_checkpoint_roundtrip(tmp_path, fpnplus_pair):
     for a, b in zip(jax.tree_util.tree_leaves(variables),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_phase_resize_fused_stem_matches_resize_then_stem():
+    """layers.phase_resize + the z-input folded stem (darknet
+    `_phase_kernel_im_z`, pipeline.py fused path) equals bilinear_resize
+    followed by the standard folded backbone, up to fp reassociation."""
+    from orienmask_tpu.models.darknet import DarkNet53
+    from orienmask_tpu.models.layers import default_ctx, phase_resize
+
+    net_h, net_w = 32, 48  # /32-friendly "network size"
+    m = DarkNet53(s2d_stem=True)
+    params, stats = m.init(jax.random.PRNGKey(1))
+    folded = m.fold(params, stats)
+    img = jnp.asarray(np.random.default_rng(11).standard_normal(
+        (2, 40, 56, 3)).astype(np.float32))
+
+    @jax.jit
+    def run(folded, img):
+        ev = default_ctx(train=False)
+        x = bilinear_resize(img, net_h, net_w)
+        ref = m.apply_folded(folded, x, ev)
+        z = phase_resize(img, net_h, net_w)
+        got = m.apply_folded(folded, z, ev, phase_hw=(net_h // 2, net_w // 2))
+        return ref, got, x, z
+
+    ref, got, x, z = run(folded, img)
+    # z itself is exactly the padded space-to-depth of the resized image
+    ph, pw = net_h // 2 + 1, net_w // 2 + 1
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want_z = np.stack(
+        [xp[:, a::2, b::2, :] for a in (0, 1) for b in (0, 1)], axis=3
+    ).transpose(0, 1, 2, 3, 4).reshape(2, ph, pw, 12)
+    np.testing.assert_allclose(np.asarray(z)[:, :ph, :pw], want_z,
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(z)[:, ph:]).max() == 0.0
+    for ta, tb in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                   rtol=2e-3, atol=2e-3)
