@@ -182,7 +182,11 @@ class OrienMaskYOLOPostProcess:
             det_max = jax.nn.sigmoid(jnp.max(flat[:, 5:], axis=1)) \
                 * jax.nn.sigmoid(flat[:, 4])
             det_max = jnp.where(det_max > self.conf_thresh, det_max, -1.0)
-            _, top_det = jax.lax.top_k(det_max, self.nms_pre)
+            # Split-merge here too: 18207 elements sit just above the top-k
+            # size cliff (one top_k 0.84 ms vs split2 0.48 ms standalone,
+            # tools/bench_sel_stem.py) — bit-identical by the _topk_split
+            # tie-break argument.
+            _, top_det = self._topk_split(det_max, self.nms_pre)
             sub_rows = flat[top_det]  # (nms_pre, 5+C)
             sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
                 * jax.nn.sigmoid(sub_rows[:, 4:5])

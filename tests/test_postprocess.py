@@ -132,3 +132,26 @@ def test_fixpoint_equals_sequential_select():
         nv = int(np.asarray(a_valid).sum())
         np.testing.assert_array_equal(
             np.asarray(a_idx)[:nv], np.asarray(b_idx)[:nv], err_msg=f"trial {trial}")
+
+
+def test_topk_split_bitexact_with_ties():
+    """_topk_split must equal lax.top_k bit-for-bit — values AND indices —
+    including heavy-tie inputs (quantized scores) and every nsplit/odd-length
+    combination both selection stages use (stage-1 18207-element det scores,
+    stage-2 32000-element pair scores)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    for n, k, nsplit in [(18207, 400, 2), (32000, 400, 2), (1001, 400, 3),
+                         (4096, 128, 4), (401, 400, 2)]:
+        for tie in (False, True):
+            x = rng.standard_normal(n).astype(np.float32)
+            if tie:
+                x = np.round(x * 4) / 4  # many exact duplicates
+            xv = jnp.asarray(x)
+            ref_v, ref_i = jax.lax.top_k(xv, k)
+            v, i = OrienMaskYOLOPostProcess._topk_split(xv, k, nsplit=nsplit)
+            np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(v))
+            np.testing.assert_array_equal(
+                np.asarray(ref_i), np.asarray(i),
+                err_msg=f"n={n} k={k} nsplit={nsplit} tie={tie}")

@@ -64,10 +64,13 @@ def main():
     ap.add_argument("--out", default="/tmp/om_infer_trace")
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--top", type=int, default=50)
+    ap.add_argument("--per-instance", action="store_true",
+                    help="aggregate by raw HLO op name, not source line")
     args = ap.parse_args()
     if not args.analyze_only:
         run(args)
-    analyze(args.out, args.iters, top=args.top)
+    analyze(args.out, args.iters, top=args.top,
+            per_instance=args.per_instance)
 
 
 if __name__ == "__main__":

@@ -62,7 +62,10 @@ def run_step(args):
     return trace_dir
 
 
-def analyze(trace_dir, iters, top=40):
+def analyze(trace_dir, iters, top=40, per_instance=False):
+    """``per_instance`` keys the aggregation by raw HLO op name (e.g.
+    ``convolution.123``) instead of source line — separates the individual
+    convs that a per-line view lumps together."""
     try:  # the capture records its own iteration count; trust it over the flag
         with open(os.path.join(trace_dir, "iters.txt")) as fh:
             iters = int(fh.read().strip())
@@ -94,7 +97,7 @@ def analyze(trace_dir, iters, top=40):
         name = e.get("name", "")
         dur = e.get("dur", 0)  # microseconds
         args_ = e.get("args") or {}
-        key = args_.get("tf_op") or name
+        key = name if per_instance else (args_.get("tf_op") or name)
         agg[key + "|" + (args_.get("source") or "")] += dur
         total += dur
 
