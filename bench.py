@@ -18,13 +18,10 @@ def main():
 
     # Persistent compile cache: the axon relay occasionally serves multi-minute
     # compiles; caching keeps repeat bench runs inside the supervisor timeout.
-    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # Host-keyed: a stale cross-machine cache loads bad AOT code (utils/cache.py).
+    from orienmask_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
     from orienmask_tpu.config import (
         orienmask_yolo_coco_544_anchor4_fpn_plus_infer as cfg,
@@ -32,6 +29,13 @@ def main():
     import orienmask_tpu.models as model_module
     from orienmask_tpu.pipeline import InferencePipeline
     from orienmask_tpu.trainer.builder import build, build_postprocess, build_transform
+
+    import sys
+
+    # Liveness signal for the supervisor: backend init is the step that
+    # wedges; everything after (compile) is slow but alive.
+    jax.devices()
+    print("bench: backend live", file=sys.stderr, flush=True)
 
     model_cfg = dict(cfg["model"])
     model_cfg["pretrained"] = None
@@ -96,33 +100,64 @@ def main():
 
 
 def _supervised():
-    """Run main() in a child process with watchdog+retry.
+    """Run main() in a child process with a first-progress watchdog + retry.
 
     The axon TPU relay occasionally wedges a fresh client at backend init
-    (0% CPU forever); a supervised child with a hard timeout and retry makes
-    unattended benchmark runs reliable.
+    (0% CPU forever, no output); a healthy child prints "backend live" to
+    stderr within seconds. So: no liveness line within `wedge_timeout` =>
+    kill and retry cheaply; once live, allow the full budget (remote
+    compiles can take minutes on a cold cache).
     """
     import os
     import subprocess
     import sys
+    import threading
+    import time
 
-    for attempt in range(3):
+    wedge_timeout, full_timeout = 180.0, 480.0
+    for attempt in range(4):
         env = dict(os.environ, ORIENMASK_BENCH_CHILD="1")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=480,
-            )
-        except subprocess.TimeoutExpired:
-            continue
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return
-        # child failed without a result: surface stderr once, then retry
-        if attempt == 2:
-            sys.stderr.write(proc.stderr[-2000:])
-    raise SystemExit("bench: no result after 3 supervised attempts")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        live = threading.Event()
+        err_tail = []
+
+        def _drain(stream=proc.stderr, live=live, tail=err_tail):
+            for line in stream:
+                tail.append(line)
+                del tail[:-40]
+                if "backend live" in line:
+                    live.set()
+
+        t = threading.Thread(target=_drain, daemon=True)
+        t.start()
+        start = time.monotonic()
+        result = None
+        while True:
+            rc = proc.poll()
+            elapsed = time.monotonic() - start
+            if rc is not None:
+                result = proc.stdout.read()
+                break
+            if not live.is_set() and elapsed > wedge_timeout:
+                proc.kill()
+                proc.wait()
+                break  # wedged at backend init: retry
+            if elapsed > full_timeout:
+                proc.kill()
+                proc.wait()
+                break
+            time.sleep(1.0)
+        if result:
+            for line in result.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        if attempt == 3:
+            sys.stderr.write("".join(err_tail[-20:]))
+    raise SystemExit("bench: no result after 4 supervised attempts")
 
 
 if __name__ == "__main__":

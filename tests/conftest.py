@@ -26,9 +26,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# This box has a single CPU core: XLA compiles of the full model take minutes.
-# A persistent compilation cache makes reruns cheap.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# Dev boxes here can have a single CPU core: XLA compiles of the full model
+# take minutes, so use a persistent compilation cache. Host-keyed: a stale
+# cross-machine cache loads bad AOT code that wedges collective rendezvous
+# (utils/cache.py).
+from orienmask_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))

@@ -56,3 +56,17 @@ def test_checkpoint_cadence_and_best_symlink(tmp_path):
     assert ckpt["epoch"] == 4
     assert ckpt["config"] == {"model": "m"}
     np.testing.assert_array_equal(ckpt["params"]["w"], np.ones(3))
+
+
+def test_cpu_collective_cache_guard_installed():
+    """conftest enables the persistent compile cache; the guard must route
+    multi-device CPU executables around it (cache-deserialized XLA:CPU
+    collectives wedge at rendezvous — utils/cache.py failure mode 2)."""
+    from jax._src import compiler
+
+    from orienmask_tpu.utils.cache import _install_cpu_collective_cache_guard
+
+    assert getattr(compiler.compile_or_get_cached, "_omtpu_cpu_guard", False)
+    before = compiler.compile_or_get_cached
+    _install_cpu_collective_cache_guard()  # idempotent: no double-wrap
+    assert compiler.compile_or_get_cached is before

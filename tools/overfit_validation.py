@@ -12,7 +12,8 @@ import json, os, sys, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from orienmask_tpu.utils.cache import enable_compile_cache
+enable_compile_cache("/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 import numpy as np
 import jax.numpy as jnp
