@@ -46,6 +46,10 @@ if __name__ == "__main__":
                         help="video file or frames directory: streaming mode "
                              "with a double-buffered in-flight pipeline "
                              "(config stream_depth, e.g. the 736x736 config)")
+    parser.add_argument("--spatial", default=None, type=int, metavar="N",
+                        help="shard each image's rows over N devices "
+                             "(GSPMD conv halo exchange) — multi-chip "
+                             "batch-1 latency at large resolutions")
     parser.add_argument("--stream-depth", default=None, type=int,
                         help="override the in-flight frame depth for --video")
     args = parser.parse_args()
@@ -72,9 +76,14 @@ if __name__ == "__main__":
 
     transform = build_transform(config["transform"])
     postprocess = build_postprocess(config["postprocess"])
+    mesh = None
+    if args.spatial and args.spatial > 1:
+        from orienmask_tpu.parallel import spatial_mesh
+
+        mesh = spatial_mesh(n_space=args.spatial)
     pipeline = InferencePipeline(
         model, variables, transform, postprocess,
-        compute_dtype=config.get("compute_dtype", "bfloat16"),
+        compute_dtype=config.get("compute_dtype", "bfloat16"), mesh=mesh,
     )
     visualizer = build(config["visualizer"], visualizer_module) \
         if args.visualize else None

@@ -5,3 +5,8 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     shard_batch,
 )
+from .spatial import (  # noqa: F401
+    image_sharding,
+    spatial_forward,
+    spatial_mesh,
+)

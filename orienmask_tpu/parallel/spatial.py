@@ -1,0 +1,74 @@
+"""Spatial partitioning (SP): shard the *image* across devices.
+
+The reference scales only by data parallelism (SURVEY.md §2.12; its DDP wrap at
+/root/reference/trainer/builder.py:87) — one whole image per GPU. On a TPU pod
+the extra axis worth sharding for a fixed-resolution CNN is *space*: split the
+input rows across a mesh axis and let GSPMD partition every convolution,
+inserting halo exchanges over ICI for the window rows that straddle a shard
+boundary. No manual communication; the model code is unchanged.
+
+When it pays: batch-1 latency at large input sizes (736² video, 1088²+ stills)
+where one chip's MXU is the bottleneck — per-device conv FLOPs drop ~linearly
+with the shard count while halo traffic grows only with the cut perimeter.
+When it does not: throughput serving (just batch more images per chip — DP).
+
+Head outputs are small (17²/34²/68² grids + a stride-4 orientation map), so
+this module gathers them to replicated before postprocess: the gather is a few
+hundred KB against the megabytes of backbone activations that stay sharded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+SPACE_AXIS = "space"
+
+
+def spatial_mesh(n_space, n_data=1, devices=None):
+    """2-D ``(data, space)`` mesh over ``n_data * n_space`` devices.
+
+    ``n_data`` batches in parallel (the reference's DP axis), ``n_space``
+    row-shards per image. Adjacent devices land on the space axis so halo
+    exchanges ride the shortest ICI hops.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_space
+    if len(devices) < need:
+        raise ValueError(f"spatial_mesh: need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def image_sharding(mesh):
+    """NHWC input sharding: batch over the data axis, rows over space."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+
+
+def spatial_forward(model, mesh, train=False, dtype=jnp.float32):
+    """Jitted eval forward with the image row-sharded over ``mesh``.
+
+    Parameters are replicated (this model is ~50M params — far below a chip's
+    HBM; sharding them would only add gather latency). Outputs come back
+    replicated for the host-side or replicated postprocess.
+
+    Returns ``fn(variables, image_nhwc) -> ((bbox_s, orien_s) x 3 scales)``.
+    """
+    rep = NamedSharding(mesh, P())
+    img = image_sharding(mesh)
+
+    def fwd(variables, image):
+        out, _ = model.forward(variables, image, train=train, dtype=dtype)
+        return out
+
+    return jax.jit(fwd, in_shardings=(rep, img), out_shardings=rep)
+
+
+# The fused inference pipeline gains spatial sharding via its constructor:
+# ``InferencePipeline(..., mesh=spatial_mesh(n_space, n_data))`` — every
+# per-shape program it builds is then jitted with the image row-sharded and
+# outputs replicated (pipeline.py), reachable from the CLI as
+# ``infer.py --spatial N``.

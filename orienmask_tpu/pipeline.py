@@ -17,8 +17,14 @@ from .models.layers import default_ctx
 
 class InferencePipeline:
     def __init__(self, model, variables, transform, postprocess,
-                 compute_dtype="bfloat16"):
+                 compute_dtype="bfloat16", mesh=None):
+        """``mesh``: optional ``(data, space)`` mesh from
+        ``parallel.spatial.spatial_mesh`` — shards the input image rows across
+        devices (GSPMD conv halo exchange) for multi-chip batch-1 latency at
+        large resolutions; outputs come back replicated.  Default: one device.
+        """
         self.model = model
+        self.mesh = mesh
         self.transform = transform  # FastCOCOTransform description
         self.postprocess = postprocess
         self.dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -32,6 +38,13 @@ class InferencePipeline:
             if path and getattr(path[-1], "key", None) == "kernel" else leaf,
             folded,
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # fold() commits weights to device 0; replicate them over the mesh
+            # so the sharded jit's input constraint is already satisfied.
+            self.folded = jax.device_put(
+                self.folded, NamedSharding(mesh, P()))
         self._fns = {}  # input (H, W) -> compiled fn
         h, w = transform.size
         # transform resizes (warps) to the exact network size; pad is a no-op
@@ -69,6 +82,14 @@ class InferencePipeline:
                 predict = self.model.apply_folded(folded, x, ctx)
             return self.postprocess._run_batch(predict)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.spatial import image_sharding
+
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(run, in_shardings=(rep, image_sharding(self.mesh)),
+                           out_shardings=rep)
         return jax.jit(run)
 
     def _fn_for(self, shape):
