@@ -234,5 +234,10 @@ def build_tester(config, checkpoint):
     test_loader = build_dataloader(dict(test_config["test_loader"], pad_last=True))
     postprocess = build_postprocess(test_config["postprocess"])
     checkpoint_dir = os.path.dirname(checkpoint) or "."
+    # Beyond the reference's single-GPU test.py (reference test.py:23):
+    # n_device > 1 shards each eval batch over a data mesh.
+    mesh = data_mesh(n_devices=_n_devices(test_config)) \
+        if _n_devices(test_config) > 1 else None
     return Tester(model, variables, postprocess, test_loader, checkpoint_dir,
-                  test_config["gt_file"], test_config.get("compute_dtype", "float32"))
+                  test_config["gt_file"], test_config.get("compute_dtype", "float32"),
+                  mesh=mesh)

@@ -12,7 +12,12 @@ from ..utils import timer
 
 class Tester:
     def __init__(self, model, variables, postprocess, test_loader, checkpoint_dir,
-                 gt_file, compute_dtype="float32"):
+                 gt_file, compute_dtype="float32", mesh=None):
+        """``mesh``: optional data mesh — shards each eval batch over the
+        devices (the loader's ``pad_last`` keeps batch shapes static, so the
+        split is always even when ``batch_size %% n_devices == 0``). The
+        reference restricts test.py to one GPU (reference test.py:23); here
+        multi-chip evaluation is a config knob (``n_device``)."""
         import jax.numpy as jnp
 
         self.model = model
@@ -32,19 +37,33 @@ class Tester:
         from ..models.layers import default_ctx
         from .train_state import _image_f32
 
+        self._batch_sharding = None
+        fwd = lambda f, im: model.apply_folded(  # noqa: E731
+            f, _image_f32(im), default_ctx(dtype=self.dtype))
         # _image_f32: accept uint8-transported loader batches like the
         # train/eval steps do (no-op for float images).
-        self._fwd = jax.jit(
-            lambda f, im: model.apply_folded(
-                f, _image_f32(im), default_ctx(dtype=self.dtype))
-        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import batch_sharding
+
+            n = len(mesh.devices.flatten())
+            assert test_loader.batch_size % n == 0, (
+                f"test batch_size={test_loader.batch_size} not divisible by "
+                f"{n} devices")
+            self._batch_sharding = batch_sharding(mesh)
+            rep = NamedSharding(mesh, P())
+            folded = jax.device_put(folded, rep)
+            self._fwd = jax.jit(fwd, in_shardings=(rep, self._batch_sharding))
+        else:
+            self._fwd = jax.jit(fwd)
         self._folded = folded
 
     def test(self):
         timer.reset()
         n_iter = len(self.test_loader)
         for batch in tqdm(self.test_loader, total=n_iter):
-            image = jax.device_put(batch["image"])
+            image = jax.device_put(batch["image"], self._batch_sharding)
             info = batch.get("info")
 
             with timer.timer("Network Forward") as t:

@@ -76,3 +76,37 @@ def test_torch_pth_checkpoint_roundtrip(tmp_path):
     k = np.asarray(state["params"]["backbone"]["conv1"]["kernel"])
     ref = tmodel.backbone.conv1.conv_block[0].weight.detach().numpy()
     np.testing.assert_allclose(k, ref.transpose(2, 3, 1, 0))
+
+
+def test_tester_data_parallel_matches_single_device(tmp_path, slim_backbone, capsys):
+    """n_device>1 shards each eval batch over the mesh (beyond the reference's
+    single-GPU test.py); COCO stats must equal the single-device run."""
+    from orienmask_tpu.models import OrienMaskYOLOFPNPlus
+    from orienmask_tpu.trainer import build_tester
+
+    config = _tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"))
+    model = OrienMaskYOLOFPNPlus(
+        **{k: v for k, v in config["model"].items() if k != "type"})
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    ckpt_path = str(tmp_path / "weights.ckpt")
+    save_checkpoint(ckpt_path, {
+        "epoch": 1,
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+        "monitor_best": 0.0,
+        "config": config,
+    })
+
+    base = _tiny_test_config(config)
+    single = build_tester(dict(base, n_device=1), ckpt_path)
+    single.test()
+    ref_bbox = np.array(single.coco_metrics.bbox_eval_stats)
+
+    sharded_cfg = dict(base, n_device=4)
+    sharded_cfg["test_loader"] = dict(base["test_loader"], batch_size=4)
+    sharded = build_tester(sharded_cfg, ckpt_path)
+    assert sharded._batch_sharding is not None
+    sharded.test()
+    got_bbox = np.array(sharded.coco_metrics.bbox_eval_stats)
+
+    np.testing.assert_allclose(got_bbox, ref_bbox, atol=1e-6)
