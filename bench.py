@@ -141,13 +141,13 @@ def _supervised():
             if rc is not None:
                 result = proc.stdout.read()
                 break
-            if not live.is_set() and elapsed > wedge_timeout:
+            if (not live.is_set() and elapsed > wedge_timeout) \
+                    or elapsed > full_timeout:
                 proc.kill()
                 proc.wait()
-                break  # wedged at backend init: retry
-            if elapsed > full_timeout:
-                proc.kill()
-                proc.wait()
+                # salvage: a child can print its result then wedge at
+                # teardown (the same relay wedge class) — don't discard it
+                result = proc.stdout.read()
                 break
             time.sleep(1.0)
         if result:

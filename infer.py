@@ -95,6 +95,7 @@ if __name__ == "__main__":
         # compute of frames i+1..i+depth.
         import time
 
+        import jax
         from orienmask_tpu.stream import StreamingPipeline
 
         depth = args.stream_depth or config.get("stream_depth", 2)
@@ -125,6 +126,13 @@ if __name__ == "__main__":
         if args.output and not to_video:
             os.makedirs(args.output, exist_ok=True)
         writer = None  # created lazily once the first frame size is known
+        src_fps = 25.0  # frame-dir inputs carry no rate; video inputs do
+        if to_video and not os.path.isdir(args.video):
+            cap0 = cv2.VideoCapture(args.video)
+            fps_val = cap0.get(cv2.CAP_PROP_FPS)
+            cap0.release()
+            if fps_val and np.isfinite(fps_val) and fps_val > 0:
+                src_fps = float(fps_val)
 
         src_frames = []  # parallel to the in-flight queue (lag = depth)
         n_frames = 0
@@ -143,7 +151,7 @@ if __name__ == "__main__":
                         if writer is None:
                             fourcc = cv2.VideoWriter_fourcc(*"mp4v")
                             writer = cv2.VideoWriter(
-                                args.output, fourcc, 25.0,
+                                args.output, fourcc, src_fps,
                                 (show.shape[1], show.shape[0]))
                         writer.write(bgr)
                     else:
@@ -155,7 +163,8 @@ if __name__ == "__main__":
         for frame in frame_source():
             if n_frames == 0 and args.benchmark:
                 for _ in range(10):  # warmup compile outside the timed loop
-                    pipeline.run_device(frame[None])
+                    warm = pipeline.run_device(frame[None])
+                jax.block_until_ready(warm)  # execution too, not just compile
                 t_start = time.perf_counter()
             stream.submit(frame[None])
             src_frames.append(frame)

@@ -36,7 +36,7 @@ def _worker_loop(dataset, base_seed, task_q, result_q):
         task = task_q.get()
         if task is None:
             break
-        job_id, idx, epoch = task
+        gen, job_id, idx, epoch = task
         if getattr(dataset, "transform", None) is not None and \
                 hasattr(dataset.transform, "reseed"):
             dataset.transform.reseed(
@@ -44,9 +44,9 @@ def _worker_loop(dataset, base_seed, task_q, result_q):
             )
         try:
             sample = dataset[idx]
-            result_q.put((job_id, sample, None))
+            result_q.put((gen, job_id, sample, None))
         except Exception as e:  # surface worker errors in the parent
-            result_q.put((job_id, None, repr(e)))
+            result_q.put((gen, job_id, None, repr(e)))
 
 
 class DataLoader:
@@ -78,6 +78,10 @@ class DataLoader:
         self._workers = []
         self._task_q = None
         self._result_q = None
+        # Incremented per __iter__: results tagged with an older generation
+        # (from an iterator abandoned mid-epoch) are discarded, never served
+        # as the new iteration's samples.
+        self._gen = 0
 
     # -- distributed sampler semantics (reference DistributedSampler injection,
     #    trainer/builder.py:102-104)
@@ -170,6 +174,8 @@ class DataLoader:
             return
 
         self._ensure_workers()
+        self._gen += 1
+        gen = self._gen
         # windowed dispatch: keep at most max_inflight samples queued or in
         # the reorder buffer; each consumed sample releases the next job
         all_jobs = [int(idx) for batch_idx in batches for idx in batch_idx]
@@ -180,7 +186,9 @@ class DataLoader:
             nonlocal dispatched
             while (dispatched < len(all_jobs)
                    and dispatched - consumed < self.max_inflight):
-                self._task_q.put((dispatched, all_jobs[dispatched], self.epoch))
+                self._task_q.put(
+                    (gen, dispatched, all_jobs[dispatched], self.epoch)
+                )
                 dispatched += 1
             self.inflight_peak = max(self.inflight_peak, dispatched - consumed)
 
@@ -191,7 +199,9 @@ class DataLoader:
             samples = []
             for _ in batch_idx:
                 while next_job not in buf:
-                    jid, sample, err = self._result_q.get()
+                    rgen, jid, sample, err = self._result_q.get()
+                    if rgen != gen:
+                        continue  # leftover from an abandoned iterator
                     if err is not None:
                         raise RuntimeError(f"DataLoader worker failed: {err}")
                     buf[jid] = sample

@@ -156,16 +156,10 @@ def to_bbox(rle):
         return np.zeros(4, np.float64)
     xs_col, ys_in = starts // h, starts % h
     xe_col, ye_in = stops // h, stops % h
-    multi = xe_col > xs_col
-    y0 = 0 if multi.any() else int(ys_in.min())
-    y1 = (h - 1) if multi.any() else int(ye_in.max())
-    if not multi.any():
-        y0 = int(ys_in.min())
-        y1 = int(ye_in.max())
+    if (xe_col > xs_col).any():  # a run wraps a column boundary
+        y0, y1 = 0, h - 1
     else:
-        # single-column runs still contribute their own y extent
-        y0 = 0
-        y1 = h - 1
+        y0, y1 = int(ys_in.min()), int(ye_in.max())
     x0, x1 = int(xs_col.min()), int(xe_col.max())
     return np.array([x0, y0, x1 - x0 + 1, y1 - y0 + 1], np.float64)
 
@@ -339,6 +333,13 @@ def iou(rles_a, rles_b, iscrowd=None):
     ``iscrowd[j]`` true makes the union just area(a) (COCO crowd semantics).
     """
     from .. import native
+
+    sizes = {tuple(int(v) for v in r["size"]) for r in rles_a} | \
+            {tuple(int(v) for v in r["size"]) for r in rles_b}
+    if len(sizes) > 1:
+        # Flat col-major runs from different (h, w) are incommensurable; the
+        # RLE-space sweep would return plausible-looking garbage.
+        raise ValueError(f"rle.iou: mixed mask sizes {sorted(sizes)}")
 
     out = native.rle_iou(rles_a, rles_b, iscrowd)
     if out is not None:

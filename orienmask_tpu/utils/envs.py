@@ -1,6 +1,33 @@
 """Process/topology helpers (reference utils/envs.py, minus torch.distributed)."""
 
+import os
+
 import jax
+
+
+def cpu_subprocess_env(n_devices=None, base=None):
+    """Environment for a subprocess that must initialize on the CPU backend.
+
+    Three knobs that all have to agree (and are easy to drift apart when
+    copy-pasted): ``JAX_PLATFORMS=cpu``; dropping ``PALLAS_AXON_*`` so the
+    axon sitecustomize does not re-register the TPU plugin over it; and —
+    when ``n_devices`` is given — replacing any stale
+    ``--xla_force_host_platform_device_count`` in ``XLA_FLAGS`` with ours
+    (the flag only takes effect before backend init, hence a subprocess).
+    """
+    env = dict(os.environ if base is None else base)
+    env["JAX_PLATFORMS"] = "cpu"
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(k, None)
+    if n_devices is not None:
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f
+        )
+        env["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    return env
 
 
 def get_device_rank():

@@ -137,6 +137,36 @@ def test_dataloader_bounded_inflight_slow_consumer(mini_coco):
     assert 0 < dl.inflight_peak <= dl.max_inflight
 
 
+def test_dataloader_abandoned_iterator(mini_coco):
+    """Breaking out of an epoch mid-way must not corrupt the next one: results
+    already dispatched by the abandoned iterator carry a stale generation tag
+    and are discarded, so re-iteration serves exactly the inline loader's
+    batches (regression: job ids restarted at 0 and stale queued samples were
+    served as the new epoch's first indices)."""
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    from functools import partial
+    cfn = partial(collate, max_instances=10)
+
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                    collate_fn=cfn, seed=1)
+    it = iter(dl)
+    next(it)  # consume one batch, then abandon mid-epoch
+    del it
+    dl.set_epoch(1)
+    got = list(dl)
+    dl.shutdown()
+
+    ref = DataLoader(ds, batch_size=2, shuffle=True, num_workers=0,
+                     collate_fn=cfn, seed=1)
+    ref.set_epoch(1)
+    want = list(ref)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["image"], w["image"], atol=1e-6)
+        np.testing.assert_allclose(g["bbox"], w["bbox"], atol=1e-6)
+
+
 def test_dataloader_sharding(mini_coco):
     list_file, img_dir, anno_file = mini_coco
     ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())

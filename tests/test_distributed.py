@@ -38,17 +38,9 @@ def _free_port():
 
 
 def _worker_env(n_local_devices):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
-        env.pop(k, None)
-    flags = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "host_platform_device_count" not in f
-    )
-    env["XLA_FLAGS"] = (
-        f"{flags} --xla_force_host_platform_device_count={n_local_devices}"
-    ).strip()
+    from orienmask_tpu.utils.envs import cpu_subprocess_env
+
+    env = cpu_subprocess_env(n_local_devices)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 

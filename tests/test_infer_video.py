@@ -79,10 +79,9 @@ def test_infer_video_streaming_cli(tmp_path):
     cfg_path.write_text(json.dumps(_tiny_config()))
     outdir = tmp_path / "out"
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
-        env.pop(k, None)
+    from orienmask_tpu.utils.envs import cpu_subprocess_env
+
+    env = cpu_subprocess_env()
 
     proc = subprocess.run(
         [sys.executable, "infer.py", "-c", str(cfg_path), "--video",
