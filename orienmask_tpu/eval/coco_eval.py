@@ -123,16 +123,21 @@ class COCOMetrics:
             bx = (bx * w - left) / nw
             by = (by * h - top) / nh
             bw, bh = bw * w / nw, bh * h / nh
+        # Undo in reverse forward order: the flips run AFTER Resize's padding
+        # (config pipeline), so they must be inverted BEFORE the pad. The
+        # reference (coco_eval.py:169-181) unpads first — wrong by
+        # (right-left)/nw whenever the padding is asymmetric; unreachable in
+        # shipped configs (eval transforms never flip), fixed here for TTA.
+        if info.get("hflip", False):
+            bx = 1 - bx
+        if info.get("vflip", False):
+            by = 1 - by
         if info.get("pad") is not None:
             top, down, left, right, h, w = info["pad"]
             nh, nw = h - top - down, w - left - right
             bx = (bx * w - left) / nw
             by = (by * h - top) / nh
             bw, bh = bw * w / nw, bh * h / nh
-        if info.get("hflip", False):
-            bx = 1 - bx
-        if info.get("vflip", False):
-            by = 1 - by
         oh, ow = info["height"], info["width"]
         return np.stack([
             (bx - bw / 2) * ow, (by - bh / 2) * oh, bw * ow, bh * oh
@@ -145,14 +150,16 @@ class COCOMetrics:
             left, right, top, down = info["collate_pad"][:4]
             masks = masks[:, top:masks.shape[1] - down or None,
                           left:masks.shape[2] - right or None]
-        if info.get("pad") is not None:
-            top, down, left, right = info["pad"][:4]
-            masks = masks[:, top:masks.shape[1] - down or None,
-                          left:masks.shape[2] - right or None]
+        # flips invert BEFORE the pad (reverse forward order) — see
+        # _recover_shape_bbox.
         if info.get("hflip", False):
             masks = masks[:, :, ::-1]
         if info.get("vflip", False):
             masks = masks[:, ::-1, :]
+        if info.get("pad") is not None:
+            top, down, left, right = info["pad"][:4]
+            masks = masks[:, top:masks.shape[1] - down or None,
+                          left:masks.shape[2] - right or None]
         oh, ow = info["height"], info["width"]
         out = np.zeros((masks.shape[0], oh, ow), np.uint8)
         for i in range(masks.shape[0]):

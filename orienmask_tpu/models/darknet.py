@@ -247,11 +247,19 @@ class DarkNet53(Module):
             padding=((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
+    def _stage_ctx(self, name, bctx):
+        from .layers import frozen_stage_ctx
+
+        return frozen_stage_ctx(bctx, name, self.frozen_stages())
+
     def _stem_phase(self, params, stats, x, bctx):
         """conv1 .. conv3[0] evaluated in space-to-depth phase space (see
         module docstring).  Covers every sub-128-channel conv: conv1 + conv2[0]
         at 272^2 phase space, then block1 + conv3[0] at 136^2 phase space.
         Returns (136^2 x 128ch tensor, {'conv1','conv2'} stats, conv3[0] stats)."""
+        ctx1 = self._stage_ctx("conv1", bctx)
+        ctx2 = self._stage_ctx("conv2", bctx)
+        ctx3 = self._stage_ctx("conv3", bctx)
         dtype = bctx["dtype"]
         new_stats = {}
         c2first = self.conv2.modules[0]
@@ -261,7 +269,7 @@ class DarkNet53(Module):
             padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         y, new_stats["conv1"] = self.conv1.bn_act(
-            y, params["conv1"], stats["conv1"], bctx, phase_groups=4)
+            y, params["conv1"], stats["conv1"], ctx1, phase_groups=4)
 
         # conv2[0] (s2) consumes 272^2 phases and emits 136^2 phases
         # directly — no intermediate true-res tensor, no second
@@ -269,7 +277,7 @@ class DarkNet53(Module):
         k2p = _phase_kernel_s2_phase_out(params["conv2"][0]["kernel"])
         zp = self._conv_phase_down(y, k2p, dtype)
         zp, ns2_first = c2first.bn_act(zp, params["conv2"][0], stats["conv2"][0],
-                                       bctx, phase_groups=4)
+                                       ctx2, phase_groups=4)
 
         # block1 (residual 1x1 64->32, 3x3 32->64) in 136^2 phase space
         b1 = self.conv2.modules[1]
@@ -278,10 +286,10 @@ class DarkNet53(Module):
         s1x1, s3x3 = stats["conv2"][1]
         k1x1p = _phase_kernel_1x1(p1x1["kernel"])
         h = conv2d(zp, k1x1p, stride=1, padding=0, dtype=dtype)
-        h, ns_1x1 = sub[0].bn_act(h, p1x1, s1x1, bctx, phase_groups=4)
+        h, ns_1x1 = sub[0].bn_act(h, p1x1, s1x1, ctx2, phase_groups=4)
         kb1p = _phase_kernel_s1(p3x3["kernel"])
         h = conv2d(h, kb1p, stride=1, padding=1, dtype=dtype)
-        h, ns_3x3 = sub[1].bn_act(h, p3x3, s3x3, bctx, phase_groups=4)
+        h, ns_3x3 = sub[1].bn_act(h, p3x3, s3x3, ctx2, phase_groups=4)
         zp = zp + h  # phase layout is a permutation: residual commutes
         new_stats["conv2"] = [ns2_first, [ns_1x1, ns_3x3]]
 
@@ -289,7 +297,7 @@ class DarkNet53(Module):
         c3first = self.conv3.modules[0]
         k3p = _phase_kernel_s2_exit(params["conv3"][0]["kernel"])
         w = self._conv_phase_exit(zp, k3p, dtype)
-        w, ns3_first = c3first.bn_act(w, params["conv3"][0], stats["conv3"][0], bctx)
+        w, ns3_first = c3first.bn_act(w, params["conv3"][0], stats["conv3"][0], ctx3)
         return w, new_stats, ns3_first
 
     def apply(self, params, stats, x, ctx):
@@ -303,15 +311,17 @@ class DarkNet53(Module):
             x, stem_stats, ns3_first = self._stem_phase(params, stats, x, bctx)
             new_stats.update(stem_stats)
             ns3 = [ns3_first]
+            ctx3 = self._stage_ctx("conv3", bctx)
             for m, p, s in zip(self.conv3.modules[1:], params["conv3"][1:],
                                stats["conv3"][1:]):
-                x, ns = m.apply(p, s, x, bctx)
+                x, ns = m.apply(p, s, x, ctx3)
                 ns3.append(ns)
             new_stats["conv3"] = ns3
             feats["conv3"] = x
             names = names[3:]
         for name in names:
-            x, new_stats[name] = getattr(self, name).apply(params[name], stats[name], x, bctx)
+            x, new_stats[name] = getattr(self, name).apply(
+                params[name], stats[name], x, self._stage_ctx(name, bctx))
             feats[name] = x
         return (feats["conv6"], feats["conv5"], feats["conv4"], feats["conv3"]), new_stats
 

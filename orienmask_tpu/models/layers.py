@@ -35,6 +35,16 @@ def default_ctx(train=False, dtype=jnp.float32):
     return {"train": train, "dtype": dtype}
 
 
+def frozen_stage_ctx(bctx, name, frozen_names):
+    """Per-stage module ctx: frozen stages run eval-mode BN (running stats,
+    held) even in training — the reference converts frozen stages to
+    FrozenBatchNorm2d (darknet.py:31-38); their params are additionally
+    zero-grad-masked by the optimizer (trainer/builder.py _freeze_mask)."""
+    if bctx["train"] and name in frozen_names:
+        return dict(bctx, train=False)
+    return bctx
+
+
 def _conv_init(key, ksize, cin, cout, with_bias):
     """torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) => U(+-1/sqrt(fan_in))."""
     fan_in = cin * ksize * ksize
@@ -371,8 +381,14 @@ class Scale(Module):
 
 
 class SPP(Module):
-    """Spatial pyramid pooling: concat of max-pools + 1x1 conv
-    (reference model/base.py:197-207)."""
+    """Spatial pyramid pooling: concat of same-size max-pools + 1x1 conv.
+
+    The reference's SPP (model/base.py:197-207) is dead-on-arrival code:
+    ``nn.MaxPool2d(k)`` defaults to stride=k so the pyramid levels shrink and
+    ``torch.cat`` raises, and its 1x1 conv expects ``channels * len(kernel)``
+    inputs while the pyramid has ``len(kernel) + 1`` members (no config
+    instantiates it). This implements the evident intent — YOLOv3-SPP:
+    stride-1 SAME max-pools keep every level at the input size."""
 
     def __init__(self, kernel_size, channels, activation="leaky"):
         self.kernel_size = list(kernel_size)
@@ -388,23 +404,11 @@ class SPP(Module):
             pyramid.append(jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max,
                 window_dimensions=(1, k, k, 1),
-                window_strides=(1, k, k, 1),
-                padding="VALID",
+                window_strides=(1, 1, 1, 1),
+                padding=((0, 0), ((k - 1) // 2, k // 2),
+                         ((k - 1) // 2, k // 2), (0, 0)),
             ))
-        # pools with stride=k shrink the map (torch MaxPool2d(k) semantics);
-        # broadcast back up for concat only when shapes match is the caller's
-        # concern — reference uses SPP on same-size pyramids via stride-1 pools.
-        target = x.shape[1:3]
-        merged = [x]
-        for p in pyramid[1:]:
-            if p.shape[1:3] != target:
-                b, h, w, c = p.shape
-                sy, sx = target[0] // h, target[1] // w
-                p = jnp.broadcast_to(p[:, :, None, :, None, :],
-                                     (b, h, sy, w, sx, c)).reshape(
-                    b, h * sy, w * sx, c)
-            merged.append(p)
-        y = jnp.concatenate(merged, axis=-1)
+        y = jnp.concatenate(pyramid, axis=-1)
         return self.conv.apply(params, stats, y, ctx)
 
 

@@ -142,7 +142,7 @@ class ResNet(Module):
         self.groups = groups
         self.base_width = width_per_group
         self.pretrained = pretrained
-        self.frozen_stages = frozen_stages
+        self.n_frozen_stages = int(frozen_stages or 0)
         self.batchnorm_eval = batchnorm_eval
 
         self.stem = ConvBN(3, 64, 7, stride=2, padding=3)
@@ -191,18 +191,25 @@ class ResNet(Module):
                 print(f"[ResNet] pretrained file not found, skipping: {self.pretrained}")
         return {"params": params, "batch_stats": stats}
 
+    def _stage_ctx(self, name, bctx):
+        from .layers import frozen_stage_ctx
+
+        return frozen_stage_ctx(bctx, name, self.frozen_stages())
+
     def apply(self, params, stats, x, ctx):
         bctx = dict(ctx, train=False) if (self.batchnorm_eval and ctx["train"]) else ctx
         ns = {}
-        y, ns["stem"] = self.stem.apply(params["stem"], stats["stem"], x, bctx)
+        y, ns["stem"] = self.stem.apply(
+            params["stem"], stats["stem"], x, self._stage_ctx("stem", bctx))
         y = jnp.maximum(y, 0)
         y = _maxpool_3x3_s2(y)
         feats = []
         for i, blocks in enumerate(self.stages):
             name = f"layer{i + 1}"
+            sctx = self._stage_ctx(name, bctx)
             bns = []
             for j, blk in enumerate(blocks):
-                y, s = blk.apply(params[name][j], stats[name][j], y, bctx)
+                y, s = blk.apply(params[name][j], stats[name][j], y, sctx)
                 bns.append(s)
             ns[name] = bns
             feats.append(y)
@@ -212,11 +219,14 @@ class ResNet(Module):
     def get_output_channels(self):
         return self.out_channels
 
-    def frozen_param_names(self):
+    def frozen_stages(self):
+        """Stage names whose params are frozen — the backbone freeze protocol
+        consumed by OrienMask models' frozen_param_paths() and the optimizer's
+        zero-gradient mask (same method name as DarkNet53.frozen_stages)."""
         names = []
-        if self.frozen_stages >= 1:
+        if self.n_frozen_stages >= 1:
             names.append("stem")
-        for i in range(2, self.frozen_stages + 1):
+        for i in range(2, self.n_frozen_stages + 1):
             names.append(f"layer{i - 1}")
         return names
 

@@ -202,6 +202,10 @@ class OrienMaskYOLOMultiScaleLoss:
                  loss_sum_id="loss_sum", scales_id=("S32", "S16", "S08"),
                  metric_id=("cls_conf", "obj_pos", "obj_neg", "avg_iou",
                             "recall50", "recall75", "orien_pos_acc", "orien_neg_acc"),
+                 # NOTE: valid_region defaults to 0.7 here but 0.6 in the
+                 # per-scale OrienMaskYOLOLoss — a reference quirk preserved
+                 # verbatim (orienmask_yolo_loss.py:12 vs :296); every shipped
+                 # config passes 0.6 explicitly.
                  center_region=0.6, valid_region=0.7, label_smooth=False,
                  obj_ignore_threshold=0.5, weight=None, scales_weight=None,
                  target_chunk=8, painter_impl="auto", painter_interpret=False):
@@ -229,13 +233,13 @@ class OrienMaskYOLOMultiScaleLoss:
             self.scales_loss_id.append(s_loss_id)
             self.scales_loss_sum_id.append(s_sum_id)
             self.scales_metric_id.append(s_metric_id)
-            scale_weight = (
-                [self.scales_weight[i] * wi for wi in weight] if weight is not None else None
-            )
+            # scales_weight is applied ONCE, at aggregation below (reference
+            # eval/base.py:117-119) — per-scale item weights must not carry it
+            # or loss_sum would scale by scales_weight squared.
             self.scale_losses.append(OrienMaskYOLOLoss(
                 grid_size[i], image_size, anchors, anchor_mask[i], num_classes,
                 s_loss_id, s_sum_id, s_metric_id, center_region, valid_region,
-                label_smooth, obj_ignore_threshold, scale_weight, target_chunk,
+                label_smooth, obj_ignore_threshold, weight, target_chunk,
             ))
         self.cross_scale_loss_id = [f"cross_scale_{x}" for x in self.loss_suffix]
         self.loss_id += self.cross_scale_loss_id
@@ -254,11 +258,9 @@ class OrienMaskYOLOMultiScaleLoss:
         # (GSPMD has no partitioning rule for pallas_call and would replicate
         # it) — make_train_step/make_eval_step call set_paint_mesh for that.
         if painter_impl == "auto":
-            try:
-                plat = jax.devices()[0].platform.lower()
-            except Exception:
-                plat = "cpu"
-            painter_impl = "pallas" if ("tpu" in plat or plat == "axon") else "xla"
+            from ..utils.envs import is_tpu_platform
+
+            painter_impl = "pallas" if is_tpu_platform() else "xla"
         self.painter_impl = painter_impl
         self.painter_interpret = painter_interpret  # tests: kernel on CPU
         self.paint_mesh = None

@@ -51,7 +51,12 @@ class OrienMaskYOLOPostProcess:
         self.topk_mode = topk_mode
         self.pack_masks = pack_masks
         if use_pallas_masks == "auto":
-            use_pallas_masks = jax.default_backend() not in ("cpu",)
+            # TPU-only kernel (pltpu grid specs): gate on the platform like the
+            # painter's auto check, not on "any non-CPU backend" — a CUDA
+            # default backend must take the XLA path.
+            from ..utils.envs import is_tpu_platform
+
+            use_pallas_masks = is_tpu_platform()
         self.use_pallas_masks = bool(use_pallas_masks)
 
         anchors = np.asarray(anchors, np.float32)
@@ -311,16 +316,19 @@ class OrienMaskYOLOPostProcess:
     def to_host_list(self, device_out):
         """Padded device output dict -> per-image trimmed numpy dicts."""
         out = jax.device_get(device_out)
-        masks = out["mask"]
-        if self.pack_masks:
-            from .maskops import unpack_bits_np
-            masks = unpack_bits_np(masks, self.image_w)
         results = []
         for b in range(out["bbox"].shape[0]):
             n = int(out["valid"][b].sum())
+            masks = out["mask"][b, :n]
+            if self.pack_masks:
+                # unpack AFTER the trim: the padded (K, H, W/8) buffer is
+                # mostly invalid rows; K=100 x 544^2 bool per image would
+                # materialize ~30 MB each for a handful of detections.
+                from .maskops import unpack_bits_np
+                masks = unpack_bits_np(masks, self.image_w)
             results.append({
                 "bbox": out["bbox"][b, :n],
-                "mask": masks[b, :n],
+                "mask": masks,
                 "cls": out["cls"][b, :n],
             })
         return results

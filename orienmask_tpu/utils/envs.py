@@ -5,6 +5,19 @@ import os
 import jax
 
 
+def is_tpu_platform():
+    """True when the default JAX device is a TPU (incl. the axon relay).
+
+    Shared gate for TPU-only Pallas kernels (ops/loss.py painter,
+    ops/postprocess.py mask kernel) so the platform whitelist lives once.
+    """
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        plat = "cpu"
+    return "tpu" in plat or plat == "axon"
+
+
 def cpu_subprocess_env(n_devices=None, base=None):
     """Environment for a subprocess that must initialize on the CPU backend.
 

@@ -135,6 +135,39 @@ def test_recover_shape_bbox_inverse():
     np.testing.assert_allclose(out[0], [320 - 50, 240 - 30, 100, 60], atol=1e-3)
 
 
+def test_recover_shape_flip_inverts_before_pad():
+    """The forward pipeline pads (inside Resize) THEN flips, so the inverse
+    must unflip BEFORE unpadding; with asymmetric padding the orders differ
+    by (right-left)/nw per box (regression: reference order unpads first)."""
+    oh, ow = 100, 200
+    left, right = 30, 14  # asymmetric horizontal pad inside a 544-wide canvas
+    w = h = 544
+    nw, nh = w - left - right, h
+    info = {"id": 1, "height": oh, "width": ow,
+            "pad": (0, 0, left, right, h, w), "hflip": True}
+    # original box center (60, 50), size (40, 30): forward = scale into the
+    # (nw, nh) content, shift by the pad offset, then mirror in the canvas
+    bx = 1.0 - (60 / ow * nw + left) / w
+    by = 50 / oh
+    bw, bh = 40 / ow * nw / w, 30 / oh * nh / h
+    out = COCOMetrics._recover_shape_bbox(
+        np.array([[bx, by, bw, bh]], np.float32), info
+    )
+    np.testing.assert_allclose(out[0], [60 - 20, 50 - 15, 40, 30], atol=1e-3)
+
+    # mask leg: a content block must land centered on the same original pixel
+    # (a block, not one pixel — the 544->200 bilinear downscale would wash
+    # out a single marker below the 0.5 rounding threshold)
+    mask = np.zeros((1, h, w), bool)
+    # original (x=60, y=50) -> content x = 60/ow*nw + left, then mirrored
+    fx = int(round(60 / ow * nw)) + left
+    fy = int(round(50 / oh * nh))
+    mask[0, fy - 10:fy + 11, w - 1 - fx - 10:w - fx + 10] = True
+    rec = COCOMetrics._recover_shape_segm(mask, info)
+    ys, xs = np.nonzero(rec[0])
+    assert xs.size and abs(xs.mean() - 60) <= 2 and abs(ys.mean() - 50) <= 2
+
+
 def test_coco_shard_merge(tmp_path):
     """Multi-host COCO result sharding: save/merge through json files
     (reference trainer/trainer.py:175-181 protocol)."""

@@ -39,6 +39,38 @@ def test_spp_preserves_shape():
     assert y.shape == (1, 8, 8, 32)
 
 
+def test_spp_stride1_pool_semantics():
+    """YOLOv3-SPP pools are stride-1 SAME: each output pixel is the max of
+    its kxk neighborhood at unchanged resolution (NOT torch MaxPool2d(k)'s
+    stride-k block max, which shrinks the map and crashes the reference's
+    own concat). Checked through SPP.apply itself with the 1x1 conv pinned
+    to a channel-selecting identity."""
+    k = 3
+    spp = SPP([k], 1, activation="linear")
+    params, stats = spp.init(jax.random.PRNGKey(0))
+    x = np.random.default_rng(1).standard_normal((6, 6)).astype(np.float32)
+
+    def run_with_selector(col):
+        # conv kernel (1,1,2,1): pick pyramid member `col` (0=x, 1=pool_k)
+        sel = np.zeros((1, 1, 2, 1), np.float32)
+        sel[0, 0, col, 0] = 1.0
+        p = dict(params, kernel=jnp.asarray(sel),
+                 scale=jnp.ones_like(params["scale"]),
+                 bias=jnp.zeros_like(params["bias"]))
+        s = {"mean": jnp.zeros_like(stats["mean"]),
+             "var": jnp.ones_like(stats["var"]) - 1e-5}
+        y, _ = spp.apply(p, s, jnp.asarray(x)[None, :, :, None],
+                         default_ctx())
+        return np.asarray(y)[0, :, :, 0]
+
+    np.testing.assert_allclose(run_with_selector(0), x, atol=1e-5)
+    padded = np.pad(x, 1, constant_values=-np.inf)
+    want = np.stack([
+        [padded[i:i + k, j:j + k].max() for j in range(6)] for i in range(6)
+    ])
+    np.testing.assert_allclose(run_with_selector(1), want, atol=1e-5)
+
+
 def test_scale():
     s = Scale(2.5)
     params, _ = s.init(jax.random.PRNGKey(0))

@@ -109,6 +109,52 @@ def test_multiscale_loss_matches_numpy():
     assert np.isfinite(float(v[0])) and float(v[1]) > 0
 
 
+def test_scales_weight_applied_once():
+    """Reference semantics (eval/base.py:117-119): scales_weight multiplies
+    each scale's aggregate ONCE; per-scale logged items carry only the item
+    weights (regression: it was pre-multiplied into item weights AND applied
+    at aggregation, scaling loss_sum by scales_weight squared)."""
+    rng = np.random.default_rng(7)
+    bbox, cls, masks = _random_gt(rng, 5)
+    pb, pc, pm, pv = _pad_gt(bbox, cls, masks)
+    target = {
+        "bbox": jnp.asarray(pb)[None], "cls": jnp.asarray(pc)[None],
+        "mask": jnp.asarray(pm)[None], "valid": jnp.asarray(pv)[None],
+    }
+    predict = []
+    for s in range(3):
+        nh, nw = GRIDS[s]
+        b = rng.standard_normal((nh, nw, 3 * (5 + NUM_CLASSES))).astype(np.float32)
+        o = rng.standard_normal((IMAGE[0] // 4, IMAGE[1] // 4, 6)).astype(np.float32)
+        predict.append((jnp.asarray(b)[None], jnp.asarray(o)[None]))
+
+    def make(sw):
+        return OrienMaskYOLOMultiScaleLoss(
+            grid_size=[list(g) for g in GRIDS], image_size=list(IMAGE),
+            anchors=ANCHORS, anchor_mask=MASKS, num_classes=NUM_CLASSES,
+            center_region=0.6, valid_region=0.6, label_smooth=False,
+            obj_ignore_threshold=0.6, weight=[1, 1, 1, 1, 1, 20, 20],
+            scales_weight=sw, target_chunk=4,
+        )
+
+    sw = [2.0, 0.5, 1.5]
+    sum_u, log_u, _ = make([1, 1, 1])(predict, target, training=False)
+    sum_w, log_w, _ = make(sw)(predict, target, training=False)
+
+    prefixes = ["S32", "S16", "S08"]
+    for p in prefixes:  # per-scale logs must not carry scales_weight
+        for k in ("loss_xy", "loss_obj", "loss_sum"):
+            np.testing.assert_allclose(
+                float(log_w[f"{p}_{k}"]), float(log_u[f"{p}_{k}"]), rtol=1e-6)
+    want_sum = sum(sw[i] * float(log_w[f"{prefixes[i]}_loss_sum"])
+                   for i in range(3))
+    np.testing.assert_allclose(float(sum_w), want_sum, rtol=1e-5)
+    want_xy = sum(sw[i] * float(log_w[f"{prefixes[i]}_loss_xy"])
+                  for i in range(3))
+    np.testing.assert_allclose(
+        float(log_w["cross_scale_loss_xy"]), want_xy, rtol=1e-5)
+
+
 def test_shared_painting_equals_standalone():
     """Multi-scale loss (one shared OrientationPainter pass) must equal the
     per-scale standalone path (each scale painting its own targets)."""

@@ -55,3 +55,47 @@ def test_resnet_family_shapes(factory, channels):
     assert x16.shape == (1, 4, 4, channels[1])
     assert x8.shape == (1, 8, 8, channels[2])
     assert x4.shape == (1, 16, 16, channels[3])
+
+
+def _tree_equal(a, b):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    if ta != tb:
+        return False
+    return all(np.array_equal(np.asarray(u), np.asarray(v))
+               for u, v in zip(la, lb))
+
+
+def test_frozen_stages_hold_bn_stats():
+    """Frozen stages use eval-mode BN in training (reference FrozenBatchNorm2d
+    conversion): their batch stats must come back unchanged while unfrozen
+    stages update theirs."""
+    from orienmask_tpu.models.layers import default_ctx
+
+    model = resnet18(pretrained=None, frozen_stages=2)
+    assert model.frozen_stages() == ["stem", "layer1"]  # optimizer protocol
+    params, stats = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    _, ns = model.apply(params, stats, x, default_ctx(train=True))
+
+    assert _tree_equal(ns["stem"], stats["stem"])        # frozen: held
+    assert _tree_equal(ns["layer1"], stats["layer1"])    # frozen: held
+    assert not _tree_equal(ns["layer2"], stats["layer2"])  # training: updated
+
+
+def test_darknet_frozen_stages_hold_bn_stats():
+    from orienmask_tpu.models.darknet import DarkNet53
+    from orienmask_tpu.models.layers import default_ctx
+
+    for s2d in (False, True):
+        model = DarkNet53(freeze_backbone=3, s2d_stem=s2d)
+        params, stats = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 64, 64, 3)),
+            jnp.float32)
+        _, ns = model.apply(params, stats, x, default_ctx(train=True))
+
+        for name in ("conv1", "conv2", "conv3"):
+            assert _tree_equal(ns[name], stats[name]), (s2d, name)
+        assert not _tree_equal(ns["conv4"], stats["conv4"]), s2d
