@@ -61,3 +61,24 @@ def shard_batch(batch, mesh):
     return {
         k: (jax.device_put(v, sh) if k != "info" else v) for k, v in batch.items()
     }
+
+
+def local_shard(tree):
+    """Process-local block of batch-sharded global arrays -> host numpy.
+
+    Inverse of ``shard_batch`` for a computation's outputs in multi-process
+    runs: ``jax.device_get`` on a global array spans non-addressable devices
+    and raises, so pull only this process's addressable shards, concatenated
+    along the batch axis in global-index order — exactly the rows this
+    process's ``make_array_from_process_local_data`` supplied (jax.devices()
+    order is process-major)."""
+    import numpy as np
+
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = sorted(x.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(pull, tree)

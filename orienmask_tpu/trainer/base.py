@@ -25,6 +25,17 @@ class BaseTrainer:
             self.checkpoint_dir = os.path.dirname(resume)
         else:
             stamp = datetime.datetime.now().strftime("%m%d_%H%M%S")
+            if get_world_size() > 1:
+                # Every rank must derive the SAME run dir: a second-boundary
+                # race in per-process timestamps would point ranks at
+                # directories rank 0 never created. Broadcast rank 0's stamp.
+                import numpy as np
+                from jax.experimental import multihost_utils
+
+                digits = np.frombuffer(
+                    stamp.encode(), np.uint8).astype(np.int32)
+                digits = multihost_utils.broadcast_one_to_all(digits)
+                stamp = bytes(np.asarray(digits, np.uint8)).decode()
             self.checkpoint_dir = os.path.join(
                 config["log_dir"], config["name"] + "_" + stamp
             )

@@ -173,7 +173,11 @@ def build_trainer(config, resume=None, weights=None):
     world_size = get_world_size()
     rank = get_device_rank()
     mesh = data_mesh()
-    n_local = len(mesh.devices.flatten())
+    # The mesh spans ALL processes' devices; each host's loader must feed only
+    # its local share (batch_size is per device, reference-style), or a
+    # multi-host run inflates the effective batch by world_size.
+    n_local = jax.local_device_count()
+    n_mesh = len(mesh.devices.flatten())
     n_cfg = _n_devices(config)
     # Reference train.py:39 asserts device_count == n_gpu: the config's batch
     # size is PER DEVICE, so a silent mesh-width mismatch changes the
@@ -182,8 +186,8 @@ def build_trainer(config, resume=None, weights=None):
     import os as _os
 
     if not _os.environ.get("ORIENMASK_ANY_DEVICES"):
-        assert n_local == n_cfg, (
-            f"config n_device={n_cfg} but mesh spans {n_local} local devices; "
+        assert n_mesh == n_cfg, (
+            f"config n_device={n_cfg} but mesh spans {n_mesh} devices; "
             "set ORIENMASK_ANY_DEVICES=1 to train at a different scale "
             "(effective batch = batch_size x devices)")
 

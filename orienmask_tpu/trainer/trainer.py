@@ -149,6 +149,12 @@ class Trainer(BaseTrainer):
                         })
                 counter.reset()
 
+            # NOTE: compares the raw microbatch counter, while the schedule
+            # consumes step//accumulate — with accumulate>1 this stops after
+            # max_iter/accumulate optimizer steps. Reference-parity quirk
+            # (reference trainer.py:99-105 steps its scheduler only every
+            # `accumulate` batches yet stops at raw step == max_iter); no
+            # shipped config combines max_iter with accumulate>1.
             if hasattr(self.lr_scheduler, "max_iter") and \
                     step == getattr(self.lr_scheduler, "max_iter", None):
                 drain()
@@ -204,7 +210,16 @@ class Trainer(BaseTrainer):
             for k, v in jax.device_get(metric_log).items():
                 counter.update(k, (float(v[0]), float(v[1])))
             if self.coco_metrics is not None and info is not None:
-                detections = self.postprocess(out)
+                dev_out = self.postprocess.apply_device(out)
+                if jax.process_count() > 1:
+                    # Global batch-sharded outputs: fetch only this process's
+                    # rows (device_get would span non-addressable devices);
+                    # their order matches the local loader batch, so pairing
+                    # with the local ``info`` below is exact.
+                    from ..parallel.mesh import local_shard
+
+                    dev_out = local_shard(dev_out)
+                detections = self.postprocess.to_host_list(dev_out)
                 dets = self.coco_metrics.to_coco_format(info, detections)
                 self.coco_metrics.update_results(dets)
 

@@ -149,6 +149,16 @@ def main():
 
     params, stats, loss = run_one_step(mesh, local)
 
+    # local_shard must invert shard_batch: a global computation's output,
+    # pulled per process, equals the rows this process supplied (+1 here) in
+    # local order — the multi-host COCO val path depends on this pairing.
+    from orienmask_tpu.parallel.mesh import local_shard, shard_batch
+    sharded = shard_batch({"image": local["image"]}, mesh)
+    bumped = jax.jit(lambda t: {"image": t["image"] + 1.0})(sharded)
+    pulled = local_shard(bumped)
+    np.testing.assert_allclose(pulled["image"], local["image"] + 1.0,
+                               rtol=1e-6)
+
     metrics = run_coco_shard_merge(outdir, pid)
     n_results = len(metrics.bbox_results)
 
