@@ -115,7 +115,8 @@ def _supervised():
     import time
 
     wedge_timeout, full_timeout = 180.0, 480.0
-    for attempt in range(4):
+    n_attempts = 6
+    for attempt in range(n_attempts):
         env = dict(os.environ, ORIENMASK_BENCH_CHILD="1")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
@@ -155,9 +156,17 @@ def _supervised():
                 if line.startswith("{"):
                     print(line)
                     return
-        if attempt == 3:
+        if attempt == n_attempts - 1:
             sys.stderr.write("".join(err_tail[-20:]))
-    raise SystemExit("bench: no result after 4 supervised attempts")
+        # Two distinct relay failure modes: a wedge (caught above by the
+        # watchdog after wedge_timeout) and a FAST register() failure at
+        # interpreter boot ("axon not in the list of known backends", exits
+        # in seconds). Fast failures are transient — a later boot can
+        # succeed while earlier ones fail — so back off instead of burning
+        # all attempts inside one bad window.
+        if time.monotonic() - start < wedge_timeout:
+            time.sleep(30.0)
+    raise SystemExit(f"bench: no result after {n_attempts} supervised attempts")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ Workers are only started when ``num_workers > 0``; otherwise loading is inline
 """
 
 import multiprocessing as mp
+import queue
 
 import numpy as np
 
@@ -50,6 +51,11 @@ def _worker_loop(dataset, base_seed, task_q, result_q):
 
 
 class DataLoader:
+    # Result-queue poll interval: each expiry re-checks worker liveness so a
+    # worker killed by the OS (OOM, segfault) raises instead of hanging the
+    # epoch. Class attribute so tests can shrink it.
+    _RESULT_POLL_S = 30.0
+
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
                  collate_fn=None, drop_last=False, pad_last=False, seed=0,
                  rank=0, world_size=1, prefetch_factor=2, mp_context="spawn",
@@ -199,7 +205,19 @@ class DataLoader:
             samples = []
             for _ in batch_idx:
                 while next_job not in buf:
-                    rgen, jid, sample, err = self._result_q.get()
+                    try:
+                        rgen, jid, sample, err = self._result_q.get(
+                            timeout=self._RESULT_POLL_S)
+                    except queue.Empty:
+                        # A worker killed by the OS (OOM, segfault) can't
+                        # report its job; without this check the epoch hangs
+                        # forever on a silent get().
+                        dead = [p for p in self._workers if not p.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"DataLoader worker(s) died: "
+                                f"{[p.exitcode for p in dead]}")
+                        continue
                     if rgen != gen:
                         continue  # leftover from an abandoned iterator
                     if err is not None:

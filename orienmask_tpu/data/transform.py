@@ -74,6 +74,8 @@ def adjust_saturation(image, f):
 
 def adjust_hue(image, f):
     hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV)
+    # clip (not circular wrap): saturates hue jitter near red — a reference
+    # quirk preserved bit-for-bit (reference data/transform.py:43-46).
     hsv[..., 0] = np.clip(hsv[..., 0] + f * 360, 0, 360)
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
 

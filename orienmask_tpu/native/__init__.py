@@ -128,7 +128,7 @@ def rle_encode(mask):
                            h, w, buf, cap)
     if ln < 0:
         return None
-    return buf.raw[:ln].decode()
+    return ctypes.string_at(buf, int(ln)).decode()
 
 
 def rle_encode_batch(masks):
@@ -148,8 +148,10 @@ def rle_encode_batch(masks):
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if total < 0:
         return None
+    # string_at copies only the written `total` bytes — buf.raw would
+    # materialize the full worst-case capacity (~60 MB at 100x544^2) per call.
+    raw = ctypes.string_at(buf, int(total))
     out, p = [], 0
-    raw = buf.raw
     for ln in lens:
         out.append(raw[p:p + int(ln)].decode())
         p += int(ln)

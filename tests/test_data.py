@@ -137,6 +137,28 @@ def test_dataloader_bounded_inflight_slow_consumer(mini_coco):
     assert 0 < dl.inflight_peak <= dl.max_inflight
 
 
+def test_dataloader_dead_worker_raises(mini_coco, monkeypatch):
+    """A worker killed by the OS (OOM, segfault) can never report its job;
+    the parent must raise — not block forever on the result queue (the poll
+    timeout re-checks liveness each expiry)."""
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file, transform=_train_transform())
+    from functools import partial
+    cfn = partial(collate, max_instances=10)
+
+    monkeypatch.setattr(DataLoader, "_RESULT_POLL_S", 0.2)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                    collate_fn=cfn, seed=1)
+    # Start the (only) worker while it is still idle, then SIGKILL it — every
+    # dispatched job is now unservable, exactly the OOM-kill scenario.
+    dl._ensure_workers()
+    dl._workers[0].kill()
+    dl._workers[0].join()
+    with pytest.raises(RuntimeError, match="worker.*died"):
+        list(dl)
+    dl.shutdown()
+
+
 def test_dataloader_abandoned_iterator(mini_coco):
     """Breaking out of an epoch mid-way must not corrupt the next one: results
     already dispatched by the abandoned iterator carry a stale generation tag
