@@ -29,13 +29,9 @@ class BaseTrainer:
                 # Every rank must derive the SAME run dir: a second-boundary
                 # race in per-process timestamps would point ranks at
                 # directories rank 0 never created. Broadcast rank 0's stamp.
-                import numpy as np
-                from jax.experimental import multihost_utils
+                from ..utils.envs import broadcast_str
 
-                digits = np.frombuffer(
-                    stamp.encode(), np.uint8).astype(np.int32)
-                digits = multihost_utils.broadcast_one_to_all(digits)
-                stamp = bytes(np.asarray(digits, np.uint8)).decode()
+                stamp = broadcast_str(stamp)
             self.checkpoint_dir = os.path.join(
                 config["log_dir"], config["name"] + "_" + stamp
             )

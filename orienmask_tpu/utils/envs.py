@@ -69,6 +69,28 @@ def reduce_sum(tree):
     return jax.tree_util.tree_map(lambda x: x.sum(axis=0), gathered)
 
 
+def broadcast_str(s, max_len=64):
+    """Rank 0's string to every process (fixed-width uint8 transport).
+
+    Used for the run-directory timestamp: every rank must derive the SAME
+    checkpoint dir, and per-process clocks can disagree across a second
+    boundary (reference relies on a single launcher process; here each rank
+    computes its own stamp).
+    """
+    if get_world_size() < 2:
+        return s
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.int32)
+    raw = s.encode()
+    assert len(raw) <= max_len, f"string too long to broadcast: {len(raw)}"
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf)
+    out = np.asarray(buf, np.int32)
+    return bytes(out[out > 0].astype(np.uint8)).decode()
+
+
 def reduce_mean(tree):
     if get_world_size() < 2:
         return tree

@@ -159,6 +159,12 @@ def main():
     np.testing.assert_allclose(pulled["image"], local["image"] + 1.0,
                                rtol=1e-6)
 
+    # Run-dir stamp broadcast (trainer/base.py): every rank must end up with
+    # rank 0's string, not its own.
+    from orienmask_tpu.utils.envs import broadcast_str
+    stamp = broadcast_str(f"rank{pid}_stamp")
+    assert stamp == "rank0_stamp", f"rank {pid} got {stamp!r}"
+
     metrics = run_coco_shard_merge(outdir, pid)
     n_results = len(metrics.bbox_results)
 
