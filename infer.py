@@ -27,7 +27,7 @@ import orienmask_tpu.utils.visualizer as visualizer_module
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Model Inference")
-    parser.add_argument("-c", "--config", default=None, type=str)
+    parser.add_argument("-c", "--config", required=True, type=str)
     parser.add_argument("-w", "--weights", default=None, type=str)
     parser.add_argument("-i", "--image", default=None, type=str)
     parser.add_argument("-d", "--image_dir", default=None, type=str)
@@ -53,6 +53,19 @@ if __name__ == "__main__":
     parser.add_argument("--stream-depth", default=None, type=int,
                         help="override the in-flight frame depth for --video")
     args = parser.parse_args()
+
+    if args.video and args.output and not args.visualize:
+        # In streaming mode -o only makes sense as rendered frames/video;
+        # without this, -o silently produced nothing.
+        print("--output implies --visualize in --video mode")
+        args.visualize = True
+    if args.json_file and not args.output:
+        # Reference parity (reference infer.py:159,174): accumulation is
+        # gated on BOTH -j and -o, but the dump runs on -j alone — so this
+        # combination writes empty prediction JSONs. Warn instead of
+        # silently discarding every detection.
+        print("WARNING: -j without -o accumulates no detections; the dumped "
+              "prediction JSONs will be empty (pass -o to keep them)")
 
     if args.config.endswith(".json"):
         with open(args.config) as fh:
@@ -206,7 +219,14 @@ if __name__ == "__main__":
         if args.image_list:
             file_names = [ln.strip() for ln in open(args.image_list) if ln.strip()]
         else:
-            file_names = sorted(os.listdir(args.image_dir))
+            # Raw listdir (reference) chokes on stray non-images
+            # (.DS_Store, annotation jsons, subdirs) — keep only files cv2
+            # stands a chance of decoding.
+            exts = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
+            file_names = sorted(
+                f for f in os.listdir(args.image_dir)
+                if f.lower().endswith(exts)
+            )
         if args.num_images:
             file_names = file_names[: args.num_images]
         image_files = [os.path.join(args.image_dir, f) for f in file_names]
@@ -221,7 +241,10 @@ if __name__ == "__main__":
     timer.reset()
 
     def load_image(path):
-        return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        img = cv2.imread(path)
+        if img is None:
+            raise SystemExit(f"could not read image: {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     if args.benchmark:
         warm = load_image(image_files[0])[None]

@@ -6,7 +6,9 @@
 //   - om_nms:           greedy CPU NMS (reference-parity fallback / tests)
 //   - om_rle_encode:    COCO compressed-RLE mask encoding (the eval-time hot op:
 //                       thousands of 544x544 masks per COCO run)
-//   - om_resize_*:      bilinear/nearest image resize for the data loader
+//   - om_resize_bilinear: float HWC bilinear resize (half-pixel centers),
+//                       an optional cv2-free path for host tooling/tests —
+//                       the shipped data loader resizes via cv2
 //
 // Exposed with a plain C ABI and bound via ctypes (no pybind11 in this image).
 
@@ -403,18 +405,6 @@ void om_resize_bilinear(const float* src, int sh, int sw, int c, float* dst,
         float bot = p10[k] * (1 - wx) + p11[k] * wx;
         o[k] = top * (1 - wy) + bot * wy;
       }
-    }
-  }
-}
-
-void om_resize_nearest(const uint8_t* src, int sh, int sw, int c, uint8_t* dst,
-                       int dh, int dw) {
-  for (int y = 0; y < dh; ++y) {
-    int sy = std::min((int)((float)y * sh / dh), sh - 1);
-    for (int x = 0; x < dw; ++x) {
-      int sx = std::min((int)((float)x * sw / dw), sw - 1);
-      std::memcpy(dst + ((size_t)y * dw + x) * c,
-                  src + ((size_t)sy * sw + sx) * c, c);
     }
   }
 }

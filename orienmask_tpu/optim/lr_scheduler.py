@@ -58,7 +58,11 @@ class PolyLR:
 
     def __call__(self, step, base_lr=None):
         base_lr = base_lr if base_lr is not None else self.base_lr
-        return base_lr * math.pow(1 - step / self.max_iter, self.power)
+        # Clamp at 0 past max_iter: the reference's math.pow raises a domain
+        # error on the negative base (optim/lr_scheduler.py:31) — a crash in
+        # the final accumulate window when max_iter underestimates the true
+        # iteration count. lr=0 is the only sensible continuation.
+        return base_lr * math.pow(max(0.0, 1 - step / self.max_iter), self.power)
 
     def state_dict(self):
         return {"max_iter": self.max_iter, "power": self.power}

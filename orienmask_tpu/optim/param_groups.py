@@ -9,11 +9,14 @@ holds ``{kernel, bias}`` — its ``bias`` is a conv bias.
 import jax
 
 
-def param_group_factors(params, base_lr=1e-3, weight_decay=1e-4,
+def param_group_factors(params, weight_decay=1e-4,
                         norm_weight_decay=0.0, bias_lr_factor=1.0,
                         bias_weight_decay=1e-4):
     """Returns (lr_factors, wd_factors) pytrees matching ``params`` for
-    ``optim.SGD(lr_factors=..., wd_factors=...)``."""
+    ``optim.SGD(lr_factors=..., wd_factors=...)``.
+
+    lr factors are multipliers on the scheduled lr; wd entries are absolute
+    per-leaf weight-decay values (so the base lr never enters here)."""
 
     def const(tree, value):
         return jax.tree_util.tree_map(lambda _: value, tree)

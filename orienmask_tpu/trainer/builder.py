@@ -148,8 +148,7 @@ def build_optimizer(config, model=None, params=None):
     if pg_cfg:
         assert params is not None, "param_groups needs the model params pytree"
         lr_factors, wd_factors = optim_module.param_group_factors(
-            params, base_lr=lr, weight_decay=cfg.get("weight_decay", 0.0),
-            **pg_cfg)
+            params, weight_decay=cfg.get("weight_decay", 0.0), **pg_cfg)
     freeze_mask = _freeze_mask(model, params) if (model is not None and params is not None) else None
     return optim_module.SGD(lr=lr, freeze_mask=freeze_mask,
                             lr_factors=lr_factors, wd_factors=wd_factors, **cfg)

@@ -8,10 +8,10 @@ from orienmask_tpu.trainer import build_tester
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Test Model")
-    parser.add_argument("-c", "--config", default=None, type=str,
-                        help="config name or json file path (default: None)")
-    parser.add_argument("-w", "--checkpoint", default=None, type=str,
-                        help="model checkpoint to test (default: None)")
+    parser.add_argument("-c", "--config", required=True, type=str,
+                        help="config name or json file path")
+    parser.add_argument("-w", "--checkpoint", required=True, type=str,
+                        help="model checkpoint to test")
     args = parser.parse_args()
 
     if args.config.endswith(".json"):

@@ -26,6 +26,9 @@ def test_poly_lr():
     assert np.isclose(sched(0), 1.0)
     assert sched(50) < 1.0
     assert np.isclose(sched(100), 0.0)
+    # past max_iter: clamp to 0 (the reference's math.pow raises a domain
+    # error on the negative base — a crash in the final accumulate window)
+    assert sched(101) == 0.0
 
 
 def test_sgd_matches_torch_semantics():
