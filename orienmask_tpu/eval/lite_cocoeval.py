@@ -46,10 +46,12 @@ class COCOGroundTruth:
         self.img_ids = sorted(self.images.keys())
 
     def ann_rle(self, ann):
-        """Segmentation of a GT ann as compressed RLE dict (cached).
+        """Segmentation of a GT ann as an array-form RLE dict
+        {'size', 'counts': int64 array} (cached in the ann, memory-only).
 
         Polygons go through the pycocotools-exact crossing rasterizer
-        (rle.polygons_to_rle) entirely in RLE space — no bitmap decode."""
+        (rle.polygons_to_counts) entirely in RLE space — no bitmap decode,
+        and no string round-trip (the counts feed IoU/area directly)."""
         cached = ann.get("_rle")
         if cached is not None:
             return cached
@@ -57,12 +59,14 @@ class COCOGroundTruth:
         im = self.images[ann["image_id"]]
         h, w = im["height"], im["width"]
         if isinstance(seg, list):
-            out = rle_codec.polygons_to_rle(seg, h, w)
+            counts = rle_codec.polygons_to_counts(seg, h, w)
+            out = {"size": [int(h), int(w)], "counts": counts}
         elif isinstance(seg.get("counts"), list):
             out = {"size": seg["size"],
-                   "counts": rle_codec._counts_to_string(np.asarray(seg["counts"]))}
+                   "counts": np.asarray(seg["counts"], np.int64)}
         else:
-            out = seg
+            out = {"size": seg["size"],
+                   "counts": rle_codec._raw_counts(seg["counts"])}
         ann["_rle"] = out
         return out
 
@@ -116,6 +120,18 @@ class LiteCOCOeval:
 
     # ------------------------------------------------------------- matching
 
+    @staticmethod
+    def _counts_form(r):
+        """RLE dict -> array-form RLE {'size', 'counts': int64 array}.
+
+        Leaves the input dict untouched (detection dicts are later
+        json-dumped by the shard-merge protocol; a numpy leaf would break
+        that)."""
+        counts = r["counts"]
+        if isinstance(counts, (str, bytes)):
+            return {"size": r["size"], "counts": rle_codec._raw_counts(counts)}
+        return {"size": r["size"], "counts": np.asarray(counts, np.int64)}
+
     def _evaluate_img_cat(self, img_id, cat_id):
         gts = self.gt.anns.get((img_id, cat_id), [])
         dts = self.dets.get((img_id, cat_id), [])
@@ -128,9 +144,13 @@ class LiteCOCOeval:
             d_geom = [d["bbox"] for d in dts]
             d_areas = np.array([b[2] * b[3] for b in d_geom], np.float64)
         else:
-            g_geom = [self.gt.ann_rle(g) for g in gts]
-            d_geom = [d["segmentation"] for d in dts]
-            d_areas = np.array([rle_codec.area(r) for r in d_geom], np.float64)
+            # Decode every RLE's counts string exactly ONCE: the IoU and the
+            # area both consume raw counts, and rle._raw_counts passes
+            # array-form counts straight through.
+            g_geom = [self._counts_form(self.gt.ann_rle(g)) for g in gts]
+            d_geom = [self._counts_form(d["segmentation"]) for d in dts]
+            d_areas = np.array(
+                [int(r["counts"][1::2].sum()) for r in d_geom], np.float64)
         iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
 
         if self.iou_type == "bbox":

@@ -69,6 +69,11 @@ def _counts_to_string(counts):
 
 
 def _string_to_counts(s):
+    from .. import native
+
+    counts = native.rle_decode_counts(s)
+    if counts is not None:
+        return counts
     counts = []
     p = 0
     ln = len(s)
@@ -272,8 +277,8 @@ def _merge_two(ca, cb, n, intersect):
     return counts.astype(np.int64)
 
 
-def polygons_to_rle(polygons, height, width):
-    """COCO polygon list -> compressed RLE dict (pycocotools frPoly+merge)."""
+def polygons_to_counts(polygons, height, width):
+    """COCO polygon list -> merged raw counts (pycocotools frPoly+merge)."""
     from .. import native
 
     counts = native.poly_merge_counts(polygons, height, width)
@@ -281,8 +286,13 @@ def polygons_to_rle(polygons, height, width):
         counts = merge_counts(
             [poly_to_rle_counts(p, height, width) for p in polygons],
             height, width)
+    return counts
+
+
+def polygons_to_rle(polygons, height, width):
+    """COCO polygon list -> compressed RLE dict (pycocotools frPoly+merge)."""
     return {"size": [int(height), int(width)],
-            "counts": _counts_to_string(counts)}
+            "counts": _counts_to_string(polygons_to_counts(polygons, height, width))}
 
 
 def polygons_to_mask(polygons, height, width):

@@ -46,6 +46,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int,
         ]
+        lib.om_rle_decode.restype = ctypes.c_int64
+        lib.om_rle_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
         lib.om_rle_encode_batch.restype = ctypes.c_int
         lib.om_rle_encode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -129,6 +134,25 @@ def rle_encode(mask):
     if ln < 0:
         return None
     return ctypes.string_at(buf, int(ln)).decode()
+
+
+def rle_decode_counts(s):
+    """Compressed counts string -> raw int64 counts, or None when unavailable.
+
+    Inverse of rle_encode's varint writer; each count is at least one char so
+    len(s) bounds the output."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = s.encode() if isinstance(s, str) else s
+    cap = max(1, len(raw))
+    out = np.empty(cap, np.int64)
+    m = lib.om_rle_decode(raw, len(raw),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                          cap)
+    if m < 0:
+        return None
+    return out[:m].copy()
 
 
 def rle_encode_batch(masks):

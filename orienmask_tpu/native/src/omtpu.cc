@@ -101,6 +101,34 @@ int om_rle_encode(const uint8_t* mask, int h, int w, char* out, int out_cap) {
   return p;
 }
 
+// Inverse of the varint writer above: compressed-RLE string -> raw counts.
+// Returns the number of counts, or -1 if out_cap is too small. Hot in
+// LiteCOCOeval, which touches every detection's RLE string at least once.
+int64_t om_rle_decode(const char* s, int64_t slen, int64_t* out,
+                      int64_t out_cap) {
+  int64_t m = 0;
+  int64_t p = 0;
+  while (p < slen) {
+    int64_t x = 0;
+    int k = 0;
+    while (true) {
+      if (p >= slen) return -1;  // truncated varint
+      int64_t c = (int64_t)s[p] - 48;
+      x |= (c & 0x1f) << (5 * k);
+      ++p;
+      ++k;
+      if (!(c & 0x20)) {
+        if (c & 0x10) x |= ~((int64_t)0) << (5 * k);
+        break;
+      }
+    }
+    if (m > 2) x += out[m - 2];
+    if (m >= out_cap) return -1;
+    out[m++] = x;
+  }
+  return m;
+}
+
 // Batch RLE encode: n masks (n, h, w) uint8; writes concatenated strings to out
 // and per-mask lengths to lens. Returns total length or -1 on overflow.
 int om_rle_encode_batch(const uint8_t* masks, int n, int h, int w, char* out,
