@@ -75,21 +75,16 @@ def _bbox_iou_xywh(dt, gt, iscrowd):
     """(n_dt, 4) x (n_gt, 4) xywh -> IoU matrix with crowd semantics."""
     dt = np.asarray(dt, np.float64).reshape(-1, 4)
     gt = np.asarray(gt, np.float64).reshape(-1, 4)
-    out = np.zeros((len(dt), len(gt)))
-    for j in range(len(gt)):
-        gx1, gy1, gw, gh = gt[j]
-        gx2, gy2 = gx1 + gw, gy1 + gh
-        garea = gw * gh
-        for i in range(len(dt)):
-            dx1, dy1, dw, dh = dt[i]
-            dx2, dy2 = dx1 + dw, dy1 + dh
-            iw = min(dx2, gx2) - max(dx1, gx1)
-            ih = min(dy2, gy2) - max(dy1, gy1)
-            if iw <= 0 or ih <= 0:
-                continue
-            inter = iw * ih
-            union = dw * dh if iscrowd[j] else dw * dh + garea - inter
-            out[i, j] = inter / union if union > 0 else 0.0
+    iw = (np.minimum(dt[:, None, 0] + dt[:, None, 2], gt[None, :, 0] + gt[None, :, 2])
+          - np.maximum(dt[:, None, 0], gt[None, :, 0]))
+    ih = (np.minimum(dt[:, None, 1] + dt[:, None, 3], gt[None, :, 1] + gt[None, :, 3])
+          - np.maximum(dt[:, None, 1], gt[None, :, 1]))
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    d_area = (dt[:, 2] * dt[:, 3])[:, None]
+    g_area = (gt[:, 2] * gt[:, 3])[None, :]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    union = np.where(crowd, d_area, d_area + g_area - inter)
+    out = np.where((inter > 0) & (union > 0), inter / np.maximum(union, 1e-300), 0.0)
     return out
 
 

@@ -64,30 +64,56 @@ int om_nms(const float* dets, int n, float thresh, int64_t* keep_out) {
 // COCO compressed RLE: column-major runs, counts[0] is the zero-run, base-32
 // varint chars with delta coding from index 3 on (pycocotools wire format).
 // mask is row-major HxW uint8. Returns string length, or -1 if out_cap too small.
+//
+// The naive per-byte column walk costs ~0.67 ms on a 480x640 mask (loop
+// overhead, not cache misses) and this is THE eval-time hot op — every
+// detection's mask is encoded during COCO conversion. Instead: a blocked
+// transpose into a normalized 0/1 scratch buffer (~50 us), then a word-wise
+// run scan that skips 8 equal bytes per compare.
 int om_rle_encode(const uint8_t* mask, int h, int w, char* out, int out_cap) {
-  std::vector<int64_t> counts;
-  counts.reserve(256);
-  int64_t run = 0;
-  uint8_t val = 0;
-  for (int x = 0; x < w; ++x) {
-    const uint8_t* col = mask + x;  // stride w between rows
-    for (int y = 0; y < h; ++y) {
-      uint8_t v = col[(size_t)y * w] != 0;
-      if (v == val) {
-        ++run;
-      } else {
-        counts.push_back(run);
-        run = 1;
-        val = v;
-      }
+  const int64_t n = (int64_t)h * w;
+  static thread_local std::vector<uint8_t> scratch;
+  if ((int64_t)scratch.size() < n) scratch.resize(n);
+  uint8_t* f = scratch.data();
+  const int B = 64;
+  for (int y0 = 0; y0 < h; y0 += B) {
+    int y1 = std::min(y0 + B, h);
+    for (int x0 = 0; x0 < w; x0 += B) {
+      int x1 = std::min(x0 + B, w);
+      for (int y = y0; y < y1; ++y)
+        for (int x = x0; x < x1; ++x)
+          f[(size_t)x * h + y] = mask[(size_t)y * w + x] != 0;
     }
   }
-  counts.push_back(run);
+
+  std::vector<int64_t> counts;
+  counts.reserve(256);
+  int64_t i = 0;
+  uint8_t expect = 0;  // RLE alternates 0-run, 1-run, ... starting at 0
+  while (i < n) {
+    const uint8_t v = f[i];
+    int64_t j = i + 1;
+    uint64_t pat;
+    std::memset(&pat, v, 8);
+    while (j + 8 <= n) {
+      uint64_t wv;
+      std::memcpy(&wv, f + j, 8);
+      if (wv != pat) break;
+      j += 8;
+    }
+    while (j < n && f[j] == v) ++j;
+    if (v != expect) counts.push_back(0);  // only possible at i == 0
+    counts.push_back(j - i);
+    expect = !v;
+    i = j;
+  }
+  if (counts.empty()) counts.push_back(0);  // h*w == 0
+
   int p = 0;
   const int m = (int)counts.size();
-  for (int i = 0; i < m; ++i) {
-    int64_t x = counts[i];
-    if (i > 2) x -= counts[i - 2];
+  for (int i2 = 0; i2 < m; ++i2) {
+    int64_t x = counts[i2];
+    if (i2 > 2) x -= counts[i2 - 2];
     bool more = true;
     while (more) {
       int c = (int)(x & 0x1f);
