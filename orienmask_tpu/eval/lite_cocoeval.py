@@ -88,6 +88,17 @@ def _bbox_iou_xywh(dt, gt, iscrowd):
     return out
 
 
+def _native_match(ious, g_order, gi, iscrowd):
+    """C++ greedy matcher (native.coco_match) over all IoU thresholds;
+    None when the native library is unavailable (pure-Python loop below is
+    the reference implementation and the parity oracle's target)."""
+    if ious.size == 0:
+        return None  # trivial shapes: let the Python path build the arrays
+    from .. import native
+
+    return native.coco_match(ious, g_order, gi, iscrowd, IOU_THRS)
+
+
 def _segm_iou(dt_rles, gt_rles, iscrowd):
     if not dt_rles or not gt_rles:
         return np.zeros((len(dt_rles), len(gt_rles)))
@@ -169,31 +180,35 @@ class LiteCOCOeval:
 
             nt = len(IOU_THRS)
             nd, ng = len(dts), len(gts)
-            dt_m = -np.ones((nt, nd), np.int64)
-            gt_m = -np.ones((nt, ng), np.int64)  # indexed in sorted-gt space
-            dt_ig = np.zeros((nt, nd), bool)
+            matched = _native_match(ious, g_order, gi, iscrowd)
+            if matched is not None:
+                dt_m, dt_ig = matched
+            else:
+                dt_m = -np.ones((nt, nd), np.int64)
+                gt_m = -np.ones((nt, ng), np.int64)  # sorted-gt space
+                dt_ig = np.zeros((nt, nd), bool)
 
-            for ti, t in enumerate(IOU_THRS):
-                for di in range(nd):
-                    best = min(t, 1 - 1e-10)
-                    m = -1  # sorted-gt index of current match
-                    for sj in range(ng):
-                        gj = g_order[sj]
-                        # gt already matched (crowds may match repeatedly)
-                        if gt_m[ti, sj] >= 0 and not iscrowd[gj]:
+                for ti, t in enumerate(IOU_THRS):
+                    for di in range(nd):
+                        best = min(t, 1 - 1e-10)
+                        m = -1  # sorted-gt index of current match
+                        for sj in range(ng):
+                            gj = g_order[sj]
+                            # gt already matched (crowds may rematch)
+                            if gt_m[ti, sj] >= 0 and not iscrowd[gj]:
+                                continue
+                            # real match made, reached the ignored tail
+                            if m > -1 and not gi[m] and gi[sj]:
+                                break
+                            if ious[di, gj] < best:
+                                continue
+                            best = ious[di, gj]
+                            m = sj
+                        if m == -1:
                             continue
-                        # matched a real gt already and reached the ignored tail
-                        if m > -1 and not gi[m] and gi[sj]:
-                            break
-                        if ious[di, gj] < best:
-                            continue
-                        best = ious[di, gj]
-                        m = sj
-                    if m == -1:
-                        continue
-                    dt_ig[ti, di] = gi[m]
-                    dt_m[ti, di] = m
-                    gt_m[ti, m] = di
+                        dt_ig[ti, di] = gi[m]
+                        dt_m[ti, di] = m
+                        gt_m[ti, m] = di
             # dets unmatched + outside the area range are ignored
             d_out = (d_areas < lo) | (d_areas > hi)
             dt_ig = dt_ig | ((dt_m == -1) & d_out[None, :])

@@ -69,6 +69,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), _i64p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, _i64p, ctypes.c_int,
         ]
+        lib.om_coco_match.restype = None
+        lib.om_coco_match.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            _i64p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            _i64p, ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.om_rle_iou.restype = None
         lib.om_rle_iou.argtypes = [
             _i64p, _i64p, ctypes.c_int, _i64p, _i64p, ctypes.c_int,
@@ -204,6 +212,34 @@ def poly_merge_counts(polygons, h, w):
     if m < 0:
         return None
     return out[:m].copy()
+
+
+def coco_match(ious, g_order, gi, iscrowd, thrs):
+    """COCOeval greedy matching for one (image, category, area) cell.
+
+    Returns (dt_m, dt_ig) with shapes (nt, nd) — dt_m holds sorted-gt
+    indices or -1 — or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ious = np.ascontiguousarray(ious, np.float64)
+    nd, ng = ious.shape
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    nt = len(thrs)
+    g_order = np.ascontiguousarray(g_order, np.int64)
+    gi = np.ascontiguousarray(gi, np.uint8)
+    crowd = np.ascontiguousarray(iscrowd, np.uint8)
+    dt_m = np.empty((nt, nd), np.int64)
+    dt_ig = np.zeros((nt, nd), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.om_coco_match(
+        ious.ctypes.data_as(f64p), nd, ng,
+        g_order.ctypes.data_as(i64p), gi.ctypes.data_as(u8p),
+        crowd.ctypes.data_as(u8p), thrs.ctypes.data_as(f64p), nt,
+        dt_m.ctypes.data_as(i64p), dt_ig.ctypes.data_as(u8p))
+    return dt_m, dt_ig.astype(bool)
 
 
 def rle_iou(rles_a, rles_b, iscrowd=None):

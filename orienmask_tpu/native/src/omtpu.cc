@@ -425,6 +425,44 @@ void om_rle_iou(const int64_t* counts_a, const int64_t* off_a, int n_a,
   }
 }
 
+// COCOeval greedy matching for one (image, category, area-range) cell —
+// the exact loop in eval/lite_cocoeval.py _evaluate_img_cat, which profiles
+// as ~half the evaluation once IoU and RLE decode are native.
+//   ious:    nd x ng row-major (original gt index order)
+//   g_order: sorted-gt order (non-ignored first, stable), length ng
+//   gi:      ignore flag per SORTED gt position, length ng
+//   iscrowd: per ORIGINAL gt index, length ng
+//   thrs:    IoU thresholds, length nt
+//   dt_m:    nt x nd out, -1 = unmatched, else SORTED gt index
+//   dt_ig:   nt x nd out, 1 = matched an ignored gt
+void om_coco_match(const double* ious, int nd, int ng,
+                   const int64_t* g_order, const uint8_t* gi,
+                   const uint8_t* iscrowd, const double* thrs, int nt,
+                   int64_t* dt_m, uint8_t* dt_ig) {
+  std::vector<int64_t> gt_m(ng);
+  for (int ti = 0; ti < nt; ++ti) {
+    std::fill(gt_m.begin(), gt_m.end(), (int64_t)-1);
+    const double cap = 1.0 - 1e-10;
+    for (int di = 0; di < nd; ++di) {
+      double best = thrs[ti] < cap ? thrs[ti] : cap;
+      int64_t m = -1;
+      const double* row = ious + (size_t)di * ng;
+      for (int sj = 0; sj < ng; ++sj) {
+        const int64_t gj = g_order[sj];
+        if (gt_m[sj] >= 0 && !iscrowd[gj]) continue;
+        if (m > -1 && !gi[m] && gi[sj]) break;
+        if (row[gj] < best) continue;
+        best = row[gj];
+        m = sj;
+      }
+      dt_m[(size_t)ti * nd + di] = m;
+      if (m == -1) continue;
+      dt_ig[(size_t)ti * nd + di] = gi[m];
+      gt_m[m] = di;
+    }
+  }
+}
+
 }  // extern "C"
 
 extern "C" {
