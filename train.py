@@ -20,6 +20,14 @@ if __name__ == "__main__":
     parser.add_argument("--process-id", default=None, type=int)
     args = parser.parse_args()
 
+    # Distributed init FIRST: jax.distributed.initialize must run before
+    # anything touches the backend (the resume path below deserializes a
+    # checkpoint, which can).
+    if args.num_processes and args.num_processes > 1:
+        from orienmask_tpu.parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+
     if args.config is not None:
         if args.config.endswith(".json"):
             with open(args.config) as fh:
@@ -32,11 +40,6 @@ if __name__ == "__main__":
         train_config = load_checkpoint(args.resume)["config"]
     else:
         raise AssertionError("Configuration file need to be specified.")
-
-    if args.num_processes and args.num_processes > 1:
-        from orienmask_tpu.parallel import init_distributed
-
-        init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     trainer = build_trainer(train_config, resume=args.resume, weights=args.weights)
     trainer.train()
