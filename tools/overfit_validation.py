@@ -3,13 +3,16 @@
 Exercises targets -> loss -> gradients -> SGD -> decode -> NMS -> mask assembly ->
 LiteCOCOeval jointly; no real COCO data is needed.  ~20 min on the 1-core CPU host.
 
-Recorded result (2026-08-16, 800 steps, slim backbone @96x96):
-    OVERFIT bbox AP=0.889 segm AP=0.583 (6 dets over 6 GT instances)
+Recorded results (800 steps, slim backbone @96x96):
+    2026-08-16: OVERFIT bbox AP=0.889 segm AP=0.583 (6 dets over 6 GT)
+    2026-08-18 (native-evaluator stack: om_rle_decode/om_coco_match):
+                OVERFIT bbox AP=0.873 segm AP=0.645
 
 Run:  python tools/overfit_validation.py
 """
 import json, os, sys, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 from orienmask_tpu.utils.cache import enable_compile_cache
