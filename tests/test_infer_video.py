@@ -95,3 +95,59 @@ def test_infer_video_streaming_cli(tmp_path):
     assert len(outs) == n_frames, outs
     first = cv2.imread(str(outdir / outs[0]))
     assert first is not None and first.shape == (120, 180, 3)
+
+
+def test_infer_video_output_implies_visualize(tmp_path):
+    """--video with -o but without -v must still produce rendered frames
+    (previously it silently wrote nothing)."""
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        img = rng.integers(0, 255, (120, 180, 3), np.uint8)
+        cv2.imwrite(str(frames / f"f{i:03d}.jpg"), img)
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(_tiny_config()))
+    outdir = tmp_path / "out"
+
+    from orienmask_tpu.utils.envs import cpu_subprocess_env
+
+    proc = subprocess.run(
+        [sys.executable, "infer.py", "-c", str(cfg_path), "--video",
+         str(frames), "--random-weights", "-o", str(outdir)],
+        cwd=REPO, env=cpu_subprocess_env(), capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "implies --visualize" in proc.stdout
+    assert len(os.listdir(outdir)) == 2
+
+
+def test_infer_image_dir_skips_non_images(tmp_path):
+    """-d on a directory with stray non-image entries (annotation json,
+    subdir) must process only the images instead of crashing in cv2."""
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        img = rng.integers(0, 255, (120, 180, 3), np.uint8)
+        cv2.imwrite(str(imgdir / f"im{i}.jpg"), img)
+    (imgdir / "annotations.json").write_text("{}")
+    (imgdir / "subdir").mkdir()
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(_tiny_config()))
+    outdir = tmp_path / "out"
+
+    from orienmask_tpu.utils.envs import cpu_subprocess_env
+
+    proc = subprocess.run(
+        [sys.executable, "infer.py", "-c", str(cfg_path), "-d", str(imgdir),
+         "--random-weights", "-v", "-o", str(outdir)],
+        cwd=REPO, env=cpu_subprocess_env(), capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    outs = sorted(os.listdir(outdir))
+    assert outs == ["im0.jpg", "im1.jpg"], outs
