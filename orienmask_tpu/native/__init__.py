@@ -136,12 +136,15 @@ def rle_encode(mask):
     mask = np.ascontiguousarray(mask, np.uint8)
     h, w = mask.shape
     cap = 2 * h * w + 64
-    buf = ctypes.create_string_buffer(cap)
+    # np.empty, NOT create_string_buffer: the latter zero-fills the whole
+    # worst-case capacity (a ~600 KB memset per call on 544^2 masks).
+    buf = np.empty(cap, np.uint8)
     ln = lib.om_rle_encode(mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                           h, w, buf, cap)
+                           h, w,
+                           buf.ctypes.data_as(ctypes.c_char_p), cap)
     if ln < 0:
         return None
-    return ctypes.string_at(buf, int(ln)).decode()
+    return buf[:ln].tobytes().decode()
 
 
 def rle_decode_counts(s):
@@ -173,16 +176,18 @@ def rle_encode_batch(masks):
     if n == 0:
         return []
     cap = n * (2 * h * w + 64)
-    buf = ctypes.create_string_buffer(cap)
+    # np.empty, NOT create_string_buffer: zero-filling the worst-case
+    # capacity (~60 MB at 100x544^2) made the batch path SLOWER than n
+    # single encodes.
+    buf = np.empty(cap, np.uint8)
     lens = np.empty(n, np.int32)
     total = lib.om_rle_encode_batch(
-        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w, buf, cap,
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w,
+        buf.ctypes.data_as(ctypes.c_char_p), cap,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if total < 0:
         return None
-    # string_at copies only the written `total` bytes — buf.raw would
-    # materialize the full worst-case capacity (~60 MB at 100x544^2) per call.
-    raw = ctypes.string_at(buf, int(total))
+    raw = buf[:total].tobytes()
     out, p = [], 0
     for ln in lens:
         out.append(raw[p:p + int(ln)].decode())
