@@ -72,3 +72,40 @@ def spatial_forward(model, mesh, train=False, dtype=jnp.float32):
 # per-shape program it builds is then jitted with the image row-sharded and
 # outputs replicated (pipeline.py), reachable from the CLI as
 # ``infer.py --spatial N``.
+
+
+def shard_spatial_batch(batch, mesh):
+    """Place a train batch on a ``(data, space)`` mesh: images row-sharded
+    over space, every other leaf batch-sharded only.
+
+    GT masks stay data-sharded (replicated over space): the painting kernel
+    consumes whole masks, and at stride-4 canvas resolution GSPMD reshards
+    the painted canvases to whatever layout the loss's image-resolution
+    terms want. Pair with ``make_train_step(..., follow_batch_sharding=True)``
+    so the jitted step adopts these per-leaf shardings instead of forcing
+    the 1-D batch prefix."""
+    img = image_sharding(mesh)
+    data_only = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(k, v):
+        return jax.device_put(v, img if k == "image" else data_only)
+
+    return {k: (put(k, v) if k != "info" else v) for k, v in batch.items()}
+
+
+def spatial_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
+                       compute_dtype=jnp.float32):
+    """(train_step, init_state) over a ``(data, space)`` mesh: beyond the
+    reference's DP-only scaling (SURVEY §2.12), the image's rows are sharded
+    across the space axis THROUGH the full training step — forward convs
+    (GSPMD halo exchanges), the loss's image-resolution orientation terms,
+    backward, and the SGD update (params replicated, grads all-reduced).
+
+    Feed batches through ``shard_spatial_batch``. Numerically equal to the
+    DP step on the same global batch (tests/test_spatial.py)."""
+    from ..trainer.train_state import make_train_step
+
+    return make_train_step(
+        model, loss_fn, optimizer, mesh, accumulate=accumulate,
+        compute_dtype=compute_dtype, follow_batch_sharding=True,
+    )

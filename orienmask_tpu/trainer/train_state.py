@@ -43,13 +43,18 @@ def unpack_target(batch):
 
 
 def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, follow_batch_sharding=False):
     """Returns (train_step, init_state_fn).
 
     state = {'params', 'batch_stats', 'opt_state', 'grad_acc'?}
     train_step(state, batch, lr, do_step) -> (state, logs)
     ``do_step`` (bool device scalar) gates the optimizer application when
     accumulating.
+
+    ``follow_batch_sharding``: adopt the caller-placed per-leaf batch
+    shardings (e.g. spatial (data, space) placement from
+    parallel.spatial.shard_spatial_batch) instead of forcing the 1-D
+    batch-axis prefix.
     """
 
     if hasattr(loss_fn, "set_paint_mesh"):
@@ -126,12 +131,21 @@ def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
     bsh = batch_sharding(mesh)
     # One batch-axis sharding as a pytree prefix: every batch leaf is
     # batch-major (image/bbox/cls/mask/valid and optional sample_weight).
-    jitted = jax.jit(
-        train_step,
-        in_shardings=(repl, bsh, None, None),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    # With follow_batch_sharding, no in_shardings at all: jit adopts the
+    # caller's committed per-leaf placement (spatial (data, space) batches
+    # from parallel.spatial.shard_spatial_batch; the state is committed
+    # replicated by init_state either way).
+    if follow_batch_sharding:
+        jitted = jax.jit(
+            train_step, out_shardings=(repl, repl), donate_argnums=(0,),
+        )
+    else:
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(repl, bsh, None, None),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
 
     def init_state(variables):
         state = {

@@ -83,3 +83,75 @@ def test_spatial_pipeline_end_to_end(tiny_model):
     assert out["bbox"].shape == ref["bbox"].shape
     assert out["mask"].shape == ref["mask"].shape
     assert np.isfinite(np.asarray(out["bbox"])).all()
+
+
+def test_spatial_train_step_matches_dp(tiny_model):
+    """ONE full training step (fwd + loss/targets + bwd + SGD + BN stats)
+    with image rows sharded over the space axis must equal the DP-only step
+    on the same global batch — the training-side extension of the sharded
+    forward equality above."""
+    from orienmask_tpu.ops.loss import OrienMaskYOLOMultiScaleLoss
+    from orienmask_tpu.optim import SGD
+    from orienmask_tpu.parallel import spatial_mesh
+    from orienmask_tpu.parallel.mesh import data_mesh, shard_batch
+    from orienmask_tpu.parallel.spatial import (
+        shard_spatial_batch, spatial_train_step)
+    from orienmask_tpu.trainer.train_state import make_train_step
+
+    model, variables = tiny_model
+    size = 128
+    grids = [[size // 32] * 2, [size // 16] * 2, [size // 8] * 2]
+    anchors = [[4, 6], [8, 10], [12, 8], [10, 20], [20, 16], [18, 36],
+               [36, 28], [48, 60], [60, 50]]
+    loss = OrienMaskYOLOMultiScaleLoss(
+        grid_size=grids, image_size=[size, size], anchors=anchors,
+        anchor_mask=[[6, 7, 8], [3, 4, 5], [0, 1, 2]], num_classes=80,
+        center_region=0.6, valid_region=0.6, label_smooth=False,
+        obj_ignore_threshold=0.7, weight=[1, 1, 1, 1, 1, 20, 20],
+        scales_weight=[1, 1, 1], target_chunk=4,
+    )
+    optimizer = SGD(lr=1e-3, momentum=0.9, weight_decay=5e-4)
+
+    rng = np.random.default_rng(0)
+    b, n_inst = 2, 4
+    masks = np.zeros((b, n_inst, size, size), bool)
+    masks[:, :, 32:96, 24:104] = True
+    batch = {
+        "image": rng.standard_normal((b, size, size, 3)).astype(np.float32),
+        "bbox": np.tile(np.array([[0.5, 0.5, 0.5, 0.55]], np.float32),
+                        (b, n_inst, 1)),
+        "cls": np.zeros((b, n_inst), np.int32),
+        "mask": masks,
+        "valid": np.tile(np.array([True, True, False, False]), (b, 1)),
+    }
+
+    dmesh = data_mesh(devices=jax.devices()[:2])
+    step_dp, init_dp = make_train_step(model, loss, optimizer, dmesh)
+    st_dp = init_dp(variables)
+    st_dp, logs_dp = step_dp(st_dp, shard_batch(batch, dmesh), 1e-3, True)
+
+    smesh = spatial_mesh(n_space=2, n_data=2)
+    assert smesh.devices.shape == (2, 2)
+    step_sp, init_sp = spatial_train_step(model, loss, optimizer, smesh)
+    st_sp = init_sp(variables)
+    st_sp, logs_sp = step_sp(st_sp, shard_spatial_batch(batch, smesh),
+                             1e-3, True)
+
+    np.testing.assert_allclose(float(logs_sp["loss"]), float(logs_dp["loss"]),
+                               rtol=1e-5)
+    for key in ("params", "batch_stats"):
+        a_leaves = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(st_dp[key]))[0]
+        b_leaves = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(st_sp[key]))[0]
+        for (pa, la), (pb, lb) in zip(a_leaves, b_leaves):
+            assert pa == pb
+            # Tolerance calibrated against the DP-only baseline: a 1-device
+            # vs 2-device DP step of this exact model/batch already differs
+            # by max-abs ~5e-4 (f32 reduction-order noise through BN +
+            # backward at loss ~800); the spatial step sits in the same
+            # envelope, so anything <= 2e-3 is partitioning noise, not a
+            # semantic divergence.
+            np.testing.assert_allclose(
+                lb, la, rtol=0, atol=2e-3,
+                err_msg=f"{key}{jax.tree_util.keystr(pa)}")
