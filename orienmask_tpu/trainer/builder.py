@@ -171,11 +171,23 @@ def build_trainer(config, resume=None, weights=None):
 
     world_size = get_world_size()
     rank = get_device_rank()
-    mesh = data_mesh()
-    # The mesh spans ALL processes' devices; each host's loader must feed only
-    # its local share (batch_size is per device, reference-style), or a
-    # multi-host run inflates the effective batch by world_size.
-    n_local = jax.local_device_count()
+    n_space = int(config.get("n_space", 1))
+    if n_space > 1:
+        # Spatial training (beyond-reference): image rows sharded n_space-way,
+        # batches over the remaining devices. Single-process only — spatial
+        # batch placement uses plain device_put (parallel/spatial.py).
+        assert world_size == 1, "n_space>1 requires a single-process run"
+        from ..parallel.spatial import spatial_mesh
+
+        n_data = len(jax.devices()) // n_space
+        mesh = spatial_mesh(n_space=n_space, n_data=n_data)
+        n_local = n_data  # loader feeds one whole image per DATA row
+    else:
+        mesh = data_mesh()
+        # The mesh spans ALL processes' devices; each host's loader must feed
+        # only its local share (batch_size is per device, reference-style), or
+        # a multi-host run inflates the effective batch by world_size.
+        n_local = jax.local_device_count()
     n_mesh = len(mesh.devices.flatten())
     n_cfg = _n_devices(config)
     # Reference train.py:39 asserts device_count == n_gpu: the config's batch

@@ -46,9 +46,14 @@ class Trainer(BaseTrainer):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+        # 2-D (data, space) mesh => spatial training: the train batch gets
+        # per-leaf placement (image rows sharded over space) and the step
+        # adopts it; eval/val stays data-sharded (space axis replicated).
+        self.spatial = mesh.devices.ndim == 2
         self.train_step, init_state = make_train_step(
             model, loss, optimizer, mesh,
             accumulate=self.accumulate, compute_dtype=dtype,
+            follow_batch_sharding=self.spatial,
         )
         self.eval_step = make_eval_step(model, loss, mesh, dtype)
         self.state = init_state(variables)
@@ -127,7 +132,12 @@ class Trainer(BaseTrainer):
             actual_step = step // self.accumulate
             lr = self.lr_scheduler(actual_step)
             do_step = (batch_idx % self.accumulate == 0) or (batch_idx == n_iter)
-            sharded = shard_batch(batch, self.mesh)
+            if self.spatial:
+                from ..parallel.spatial import shard_spatial_batch
+
+                sharded = shard_spatial_batch(batch, self.mesh)
+            else:
+                sharded = shard_batch(batch, self.mesh)
             sharded.pop("info", None)
             self.state, loss_log = self.train_step(self.state, sharded, lr, do_step)
             pending.append((batch_idx, loss_log))

@@ -166,3 +166,32 @@ def test_train_one_epoch_and_resume(tmp_path, monkeypatch):
     p_resumed = np.asarray(jax.device_get(
         trainer2.state["params"]["backbone"]["conv1"]["kernel"]))
     np.testing.assert_allclose(p_resumed, p0)
+
+
+def test_train_one_epoch_spatial(tmp_path, monkeypatch):
+    """Config-driven spatial training (n_space=2): the full Trainer runs a
+    train epoch with image rows sharded over the space axis of a (4, 2)
+    mesh, then a normal data-sharded val epoch with COCO scoring."""
+    assert jax.device_count() == 8
+    from orienmask_tpu.models.darknet import DarkNet53
+
+    monkeypatch.setattr(DarkNet53, "STAGE_BLOCKS", (1, 1, 1, 1, 1))
+    from orienmask_tpu.trainer import build_trainer
+
+    config = _tiny_config(str(tmp_path / "data"), str(tmp_path / "logs"))
+    config["n_space"] = 2
+    trainer = build_trainer(config)
+    assert trainer.mesh.devices.shape == (4, 2)
+    assert trainer.spatial
+    # loader feeds one whole image per DATA row, not per device
+    assert trainer.train_loader.batch_size == 4
+    trainer.train()
+
+    ckpt_dir = trainer.checkpoint_dir
+    assert os.path.exists(os.path.join(ckpt_dir, "epoch1.ckpt"))
+    p0 = np.asarray(jax.device_get(
+        trainer.state["params"]["backbone"]["conv1"]["kernel"]))
+    fresh = trainer.model.init_variables(jax.random.PRNGKey(config["seed"]))
+    p_init = np.asarray(fresh["params"]["backbone"]["conv1"]["kernel"])
+    assert not np.allclose(p0, p_init)
+    assert np.isfinite(p0).all()
