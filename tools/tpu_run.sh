@@ -1,9 +1,13 @@
 #!/bin/bash
 # Run a TPU python script with a first-progress watchdog: if the log shows no
 # progress line within WATCH seconds, kill and retry (the axon relay sometimes
-# wedges a client at backend init; fresh processes succeed).
-# Progress = a line containing "[" that is NOT a watchdog message (the
-# watchdog's own lines must not satisfy their own check).
+# wedges a client at backend init; fresh processes succeed). A FAST failure
+# (register() dying at interpreter boot: "axon is not in the list of known
+# backends") retries with a 30s backoff — those outages come in windows.
+# Progress = a line containing "[" that is NOT a watchdog message. NOTE: the
+# fast-failure traceback itself contains "['cpu', 'tpu']", so success is
+# decided by the script's EXIT CODE, never by the progress check alone
+# (an earlier version exited 0 on a crashed script because of exactly that).
 SCRIPT=$1; LOG=$2; WATCH=${3:-150}; TRIES=${4:-4}; TOTAL=${5:-540}
 progress() { grep -v '^WATCHDOG' "$LOG" | grep -q "\["; }
 for i in $(seq 1 $TRIES); do
@@ -11,19 +15,25 @@ for i in $(seq 1 $TRIES); do
   timeout -k 10 $TOTAL python "$SCRIPT" >> "$LOG" 2>&1 &
   PID=$!
   SECS=0
+  KILLED=0
   while kill -0 $PID 2>/dev/null; do
     sleep 10; SECS=$((SECS+10))
     if [ $SECS -ge $WATCH ] && ! progress; then
       echo "WATCHDOG: no progress after ${SECS}s, killing (attempt $i)" >> "$LOG"
-      kill -9 $PID 2>/dev/null; wait $PID 2>/dev/null
-      sleep 20
+      kill -9 $PID 2>/dev/null
+      KILLED=1
       break
     fi
   done
-  if progress; then
-    wait $PID 2>/dev/null
+  wait $PID 2>/dev/null
+  RC=$?
+  if [ $KILLED -eq 0 ] && [ $RC -eq 0 ]; then
     exit 0
   fi
+  if [ $KILLED -eq 0 ]; then
+    echo "WATCHDOG: script exited rc=$RC (attempt $i), retrying" >> "$LOG"
+  fi
+  sleep 30
 done
 echo "WATCHDOG: giving up after $TRIES attempts" >> "$LOG"
 exit 1
