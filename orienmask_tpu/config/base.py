@@ -145,9 +145,19 @@ coco_544_train_loader = dict(
     dataset=coco_train_dataset,
     transform=transform_train_544,
     batch_size=8,
-    num_workers=2,
+    # Sized from the measured host pipeline: ~49 samples/s/core end to end
+    # (aug ~17 ms + collate ~3.6 ms, docs/PERFORMANCE.md "Host data-pipeline
+    # sizing"), so feeding the ~170 img/s bf16 train step needs >=4 workers.
+    num_workers=4,
     shuffle=True,
     # TPU static-shape knobs: per-image instance cap and packed-bit GT masks.
+    # max_instances bounds the per-sample GT tensor for one compiled step.
+    # COCO eval itself scores at most 100 detections/image (pycocotools
+    # maxDets), and >100-annotation train2017 images are a rare tail; when a
+    # sample does exceed the cap, collate keeps the 100 largest-area
+    # instances deterministically and warns loudly (data/collate.py) — the
+    # reference's cumsum collate keeps all instances at the cost of dynamic
+    # shapes (reference data/collate.py:13-30).
     max_instances=100,
     pack_masks=True,
     collate=dict(type="collate"),
@@ -158,7 +168,7 @@ coco_544_val_loader = dict(
     dataset=coco_val_dataset,
     transform=transform_val_544,
     batch_size=8,
-    num_workers=2,
+    num_workers=4,  # see train loader note
     shuffle=False,
     max_instances=100,
     pack_masks=True,

@@ -9,6 +9,7 @@ the loss unpacks them on-device.
 """
 
 import math
+import warnings
 
 import numpy as np
 
@@ -17,7 +18,8 @@ def naive_collate(batch, **kw):
     return batch
 
 
-def collate(batch, max_instances=100, pack_masks=False, image_transport="float32"):
+def collate(batch, max_instances=100, pack_masks=False, image_transport="float32",
+            strict_instances=False):
     """List of transformed samples -> batch dict of stacked numpy arrays:
     ``{'image': (B,H,W,3) f32, 'bbox': (B,N,4) f32, 'cls': (B,N) i32,
     'mask': (B,N,H,W) bool | (B,N,H,ceil(W/8)) u8, 'valid': (B,N) bool}``
@@ -26,7 +28,16 @@ def collate(batch, max_instances=100, pack_masks=False, image_transport="float32
     ``image_transport='uint8'`` sends images as ``round(x*255)`` uint8 — 4x
     less host->device traffic; the jitted train/eval step divides by 255 on
     device.  Valid when the transform's Normalize is mean 0 / std 255 (the
-    shipped configs); costs at most 0.5/255 per pixel vs float transport."""
+    shipped configs); costs at most 0.5/255 per pixel vs float transport.
+
+    Samples with more than ``max_instances`` GT instances are truncated to
+    the ``max_instances`` LARGEST-AREA instances (deterministic; original
+    relative order preserved so the painter's last-wins overlap semantics
+    are unaffected for the kept set), with a loud RuntimeWarning counting
+    the drop — the reference's cumsum collate keeps all instances
+    (reference data/collate.py:13-30), at the cost of a dynamic shape per
+    batch.  ``strict_instances=True`` raises instead.  See the
+    ``max_instances`` note in config/base.py for the COCO sizing rationale."""
     bsz = len(batch)
     image = np.stack([s["image"] for s in batch])
     if image_transport == "uint8":
@@ -41,7 +52,28 @@ def collate(batch, max_instances=100, pack_masks=False, image_transport="float32
     if with_mask:
         masks = np.zeros((bsz, n, h, w), bool)
     for i, s in enumerate(batch):
-        k = min(s["bbox"].shape[0], n)
+        k_all = s["bbox"].shape[0]
+        if k_all > n:
+            if strict_instances:
+                raise ValueError(
+                    f"collate: sample has {k_all} GT instances > "
+                    f"max_instances={n} (strict_instances=True)")
+            # keep the n largest-area instances, original order preserved
+            area = s["bbox"][:, 2] * s["bbox"][:, 3]
+            keep = np.sort(np.argsort(-area, kind="stable")[:n])
+            warnings.warn(
+                f"collate: truncated a sample from {k_all} to {n} GT "
+                f"instances (kept the {n} largest by area; "
+                f"{k_all - n} dropped). Raise max_instances in the loader "
+                f"config to keep all (the reference keeps every instance).",
+                RuntimeWarning, stacklevel=2)
+            bbox[i] = s["bbox"][keep]
+            cls[i] = s["cls"][keep]
+            valid[i] = True
+            if with_mask:
+                masks[i] = s["mask"][keep]
+            continue
+        k = k_all
         bbox[i, :k] = s["bbox"][:k]
         cls[i, :k] = s["cls"][:k]
         valid[i, :k] = True

@@ -181,6 +181,8 @@ class COCOMetrics:
 
         if _try_pycocotools():
             stats = self._eval_pycocotools(per_cats)
+            if os.environ.get("ORIENMASK_COCOEVAL_AB"):
+                self._ab_check_lite(per_cats)
         else:
             stats = self._eval_lite(per_cats)
 
@@ -203,6 +205,36 @@ class COCOMetrics:
             if per_cats:
                 self.segm_eval_per_cats_stats = evs.per_category_ap()
         return self.bbox_eval_stats
+
+    _ab_checked = False  # class-level: one-shot per process
+
+    def _ab_check_lite(self, per_cats):
+        """One-shot A/B: assert LiteCOCOeval reproduces pycocotools' 12-stat
+        vectors on this exact result set (ORIENMASK_COCOEVAL_AB=1; VERDICT r2
+        task 4 — pycocotools is absent in the build environment, so the
+        check self-arms wherever the real binary IS importable)."""
+        if COCOMetrics._ab_checked:
+            return
+        COCOMetrics._ab_checked = True
+        ref_bbox = np.array(self.bbox_eval_stats, np.float64)
+        ref_segm = np.array(self.segm_eval_stats, np.float64)
+        ref_bbox_cats = list(self.bbox_eval_per_cats_stats)
+        ref_segm_cats = list(self.segm_eval_per_cats_stats)
+        self._eval_lite(per_cats)
+        np.testing.assert_allclose(
+            np.asarray(self.bbox_eval_stats, np.float64), ref_bbox, atol=1e-8,
+            err_msg="LiteCOCOeval bbox stats diverge from pycocotools")
+        if self.with_mask:
+            np.testing.assert_allclose(
+                np.asarray(self.segm_eval_stats, np.float64), ref_segm,
+                atol=1e-8,
+                err_msg="LiteCOCOeval segm stats diverge from pycocotools")
+        print("[coco_eval] A/B vs pycocotools: stats identical")
+        # restore the pycocotools outputs as the reported numbers
+        self.bbox_eval_stats = ref_bbox
+        self.segm_eval_stats = ref_segm
+        self.bbox_eval_per_cats_stats = ref_bbox_cats
+        self.segm_eval_per_cats_stats = ref_segm_cats
 
     def _eval_pycocotools(self, per_cats):
         from pycocotools.coco import COCO

@@ -40,6 +40,20 @@ def spatial_mesh(n_space, n_data=1, devices=None):
     if len(devices) < need:
         raise ValueError(f"spatial_mesh: need {need} devices, have {len(devices)}")
     grid = np.asarray(devices[:need]).reshape(n_data, n_space)
+    if jax.process_count() > 1:
+        # Multi-process: each image's space shards must live on ONE process so
+        # every host can feed whole image rows through
+        # jax.make_array_from_process_local_data (shard_spatial_batch). With
+        # process-major jax.devices() order that holds iff n_space divides the
+        # local device count.
+        for row in grid:
+            procs = {d.process_index for d in row}
+            if len(procs) > 1:
+                raise ValueError(
+                    f"spatial_mesh: a space row straddles processes {procs}; "
+                    f"n_space={n_space} must divide the local device count "
+                    f"({jax.local_device_count()}) so each image stays on one "
+                    f"host")
     return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
 
 
@@ -83,12 +97,25 @@ def shard_spatial_batch(batch, mesh):
     the painted canvases to whatever layout the loss's image-resolution
     terms want. Pair with ``make_train_step(..., follow_batch_sharding=True)``
     so the jitted step adopts these per-leaf shardings instead of forcing
-    the 1-D batch prefix."""
+    the 1-D batch prefix.
+
+    Multi-process (``jax.distributed``): each process passes its LOCAL batch
+    (whole images for its data rows) and the global arrays are assembled with
+    ``jax.make_array_from_process_local_data`` — valid because spatial_mesh
+    guarantees each image's space shards live on one process, so this host's
+    addressable shards are exactly its full-image data rows (the same
+    contract as parallel.mesh.shard_batch; tested 2-process in
+    tests/test_distributed.py)."""
     img = image_sharding(mesh)
     data_only = NamedSharding(mesh, P(DATA_AXIS))
 
-    def put(k, v):
-        return jax.device_put(v, img if k == "image" else data_only)
+    if jax.process_count() > 1:
+        def put(k, v):
+            sh = img if k == "image" else data_only
+            return jax.make_array_from_process_local_data(sh, np.asarray(v))
+    else:
+        def put(k, v):
+            return jax.device_put(v, img if k == "image" else data_only)
 
     return {k: (put(k, v) if k != "info" else v) for k, v in batch.items()}
 

@@ -174,14 +174,21 @@ def build_trainer(config, resume=None, weights=None):
     n_space = int(config.get("n_space", 1))
     if n_space > 1:
         # Spatial training (beyond-reference): image rows sharded n_space-way,
-        # batches over the remaining devices. Single-process only — spatial
-        # batch placement uses plain device_put (parallel/spatial.py).
-        assert world_size == 1, "n_space>1 requires a single-process run"
+        # batches over the remaining devices. Works multi-process too: each
+        # host feeds whole images for its own data rows and
+        # shard_spatial_batch assembles the global (data, space) arrays;
+        # spatial_mesh raises when n_space would straddle a process boundary.
         from ..parallel.spatial import spatial_mesh
 
+        if jax.local_device_count() % n_space != 0:
+            raise ValueError(
+                f"n_space={n_space} must divide the local device count "
+                f"({jax.local_device_count()}): each image's row shards must "
+                f"stay on one host")
         n_data = len(jax.devices()) // n_space
         mesh = spatial_mesh(n_space=n_space, n_data=n_data)
-        n_local = n_data  # loader feeds one whole image per DATA row
+        # loader feeds one whole image per LOCAL data row
+        n_local = jax.local_device_count() // n_space
     else:
         mesh = data_mesh()
         # The mesh spans ALL processes' devices; each host's loader must feed

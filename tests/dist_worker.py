@@ -98,6 +98,35 @@ def run_one_step(mesh, local_batch):
     )
 
 
+def run_one_spatial_step(n_procs, local_batch):
+    """ONE train step on a (data=n_procs, space=local_device_count) mesh:
+    image rows sharded within each process, batch across processes — the
+    multi-process spatial path (shard_spatial_batch's
+    make_array_from_process_local_data branch).  Must equal the DP step on
+    the same global batch."""
+    import jax
+
+    from orienmask_tpu.optim import SGD
+    from orienmask_tpu.parallel.spatial import (
+        shard_spatial_batch, spatial_mesh, spatial_train_step)
+
+    mesh = spatial_mesh(n_space=jax.local_device_count(), n_data=n_procs)
+    model = TinyConvBNModel()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    optimizer = SGD(lr=0.1, momentum=0.9, weight_decay=1e-4)
+    train_step, init_state = spatial_train_step(
+        model, TinyLoss(), optimizer, mesh)
+    state = init_state(variables)
+    sharded = shard_spatial_batch(local_batch, mesh)
+    state, logs = train_step(state, sharded, 0.1, True)
+    jax.block_until_ready(state["params"])
+    return (
+        jax.device_get(state["params"]),
+        jax.device_get(state["batch_stats"]),
+        float(logs["loss"]),
+    )
+
+
 def run_coco_shard_merge(outdir, rank):
     """Rank-sharded detections -> the Trainer._merge_coco_shards protocol."""
     from orienmask_tpu.eval.coco_eval import COCOMetrics
@@ -148,6 +177,15 @@ def main():
     local = {k: v[pid * per:(pid + 1) * per] for k, v in batch.items()}
 
     params, stats, loss = run_one_step(mesh, local)
+    sp_params, sp_stats, sp_loss = run_one_spatial_step(n_procs, local)
+    # spatial (data, space) step == DP step on the same global batch
+    np.testing.assert_allclose(sp_loss, loss, rtol=1e-6, atol=1e-7)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(sp_params)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"spatial vs DP {pa}")
 
     # local_shard must invert shard_batch: a global computation's output,
     # pulled per process, equals the rows this process supplied (+1 here) in

@@ -1,4 +1,4 @@
-"""LiteCOCOeval adversarial parity suite (VERDICT r1 item 4).
+"""LiteCOCOeval adversarial parity suite (VERDICT r1 item 4, r2 task 4).
 
 ``eval/lite_cocoeval.py`` is the instrument every reported AP is measured
 with, so it is cross-checked here against a from-scratch oracle implemented
@@ -6,12 +6,18 @@ directly from the COCOeval specification (pycocotools cocoeval.py semantics:
 greedy score-ordered matching per (image, category, areaRng) at 10 IoU
 thresholds, crowd may match many dets, ignored-gt tail break, unmatched dets
 outside the area range ignored, 101-point interpolated precision, stable
-mergesorts). The oracle shares no code with the evaluated module — it decodes
-masks to dense bitmaps and recomputes everything naively.
+mergesorts). The oracle shares NO code with the evaluated module: masks are
+generated as explicit dense bitmaps which the oracle consumes directly; the
+module under test receives them as list-form RLE produced by the test's own
+independent column-major encoder (the module's polygon rasterizer is
+exercised separately in tests/test_rle_exact.py, numpy-vs-C++, and is
+deliberately kept OUT of this oracle's input path).
 
-Corpus: randomized images with crowd anns, area-boundary sizes (straddling the
-32^2 / 96^2 thresholds), duplicate detections, exact score ties, and
-cross-category noise.
+Corpus: randomized images with crowd anns, area-boundary sizes (straddling
+the 32^2 / 96^2 thresholds), duplicate detections, exact score ties,
+cross-category noise, >MAX_DETS detections per (image, category) (the
+truncation boundary at lite_cocoeval MAX_DETS), and list-form RLE GT whose
+counts sum short of h*w (implicit trailing zero run).
 """
 
 import numpy as np
@@ -26,6 +32,34 @@ from orienmask_tpu.eval.lite_cocoeval import (
 H, W = 160, 200
 
 
+# ----------------------------------------------- independent RLE codec
+# (test-local, shares nothing with orienmask_tpu.eval.rle)
+
+def _indep_encode(mask, drop_trailing_zero=False):
+    """Dense bool mask -> COCO list-form counts (column-major, starts with
+    the zero run).  ``drop_trailing_zero`` omits a final zero run: valid
+    COCO RLE (counts may sum short of h*w, remainder implicitly zero)."""
+    flat = np.asarray(mask, np.uint8).ravel(order="F")
+    change = np.flatnonzero(np.diff(flat)) + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(idx).astype(int).tolist()
+    if flat[0] == 1:
+        counts = [0] + counts
+    if drop_trailing_zero and len(counts) % 2 == 1 and len(counts) > 1:
+        counts = counts[:-1]  # odd length => last run is zeros
+    return counts
+
+
+def _indep_decode(seg, h, w):
+    """COCO list-form RLE -> dense bool mask, zero-filling short counts."""
+    counts = np.asarray(seg["counts"], np.int64)
+    vals = (np.arange(len(counts)) % 2).astype(np.uint8)
+    flat = np.repeat(vals, counts)
+    if flat.size < h * w:
+        flat = np.concatenate([flat, np.zeros(h * w - flat.size, np.uint8)])
+    return flat.reshape((h, w), order="F").astype(bool)
+
+
 # --------------------------------------------------------------- the oracle
 
 def _oracle_eval(gt_data, results, iou_type):
@@ -38,14 +72,16 @@ def _oracle_eval(gt_data, results, iou_type):
     recall = -np.ones((nt, nk, na, nm))
 
     def ann_mask(ann):
-        seg = ann["segmentation"]
+        if "_dense" in ann:  # corpus keeps the generating bitmap
+            return ann["_dense"]
         im = images[ann["image_id"]]
-        if isinstance(seg, list):
-            return rle.polygons_to_mask(seg, im["height"], im["width"]).astype(bool)
-        return rle.decode(seg).astype(bool)
+        return _indep_decode(ann["segmentation"], im["height"], im["width"])
 
     def det_mask(det):
-        return rle.decode(det["segmentation"]).astype(bool)
+        if "_dense" in det:
+            return det["_dense"]
+        im = images[det["image_id"]]
+        return _indep_decode(det["segmentation"], im["height"], im["width"])
 
     def box_iou(d, g, crowd):
         dx0, dy0, dw, dh = d
@@ -182,7 +218,33 @@ def _stats_from(precision, recall):
 
 # ------------------------------------------------------------- corpus maker
 
-def _make_corpus(rng, n_images, n_cats, segm):
+def _blob_mask(rng, x0, y0, bw, bh):
+    """Dense bitmap inside box (x0,y0,bw,bh): rectangle or ellipse, the
+    independent generating geometry kept for the oracle."""
+    m = np.zeros((H, W), bool)
+    if rng.random() < 0.5:
+        m[int(y0):int(y0 + bh), int(x0):int(x0 + bw)] = True
+    else:
+        ys, xs = np.mgrid[0:H, 0:W]
+        cx, cy = x0 + bw / 2, y0 + bh / 2
+        m = ((xs - cx) / max(bw / 2, 1)) ** 2 + \
+            ((ys - cy) / max(bh / 2, 1)) ** 2 <= 1.0
+    return m
+
+
+def _attach_seg(rng, d, mask):
+    """Give the module list-form RLE from the independent encoder (sometimes
+    with the trailing zero run dropped: counts sum short of h*w), keep the
+    dense bitmap for the oracle."""
+    short = bool(rng.random() < 0.3)
+    d["segmentation"] = {"size": [H, W],
+                         "counts": _indep_encode(mask, drop_trailing_zero=short)}
+    d["_dense"] = mask
+
+
+def _make_corpus(rng, n_images, n_cats, segm, flood_dets=0):
+    """``flood_dets``: additionally emit that many detections for (image 0,
+    category 1) — exercises the MAX_DETS=100 truncation boundary when >100."""
     images, anns, results = [], [], []
     aid = 1
     # adversarial size set straddling the 32^2 and 96^2 area boundaries
@@ -199,17 +261,10 @@ def _make_corpus(rng, n_images, n_cats, segm):
             crowd = int(rng.random() < 0.12)
             ann = {"id": aid, "image_id": img, "category_id": cat,
                    "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": crowd}
-            if crowd or rng.random() < 0.3:
-                m = np.zeros((H, W), np.uint8)
-                m[int(y0):int(y0 + bh), int(x0):int(x0 + bw)] = 1
-                ann["segmentation"] = rle.encode(m)
-                if not crowd:
-                    ann["area"] = float(m.sum())
-            else:
-                ann["segmentation"] = [
-                    [x0, y0, x0 + bw, y0, x0 + bw, y0 + bh, x0, y0 + bh]]
-                ann["area"] = float(
-                    rle.area(rle.polygons_to_rle(ann["segmentation"], H, W)))
+            m = _blob_mask(rng, x0, y0, bw, bh)
+            _attach_seg(rng, ann, m)
+            if not crowd:
+                ann["area"] = float(m.sum())
             anns.append(ann)
             aid += 1
             n_det = int(rng.integers(0, 4))
@@ -226,23 +281,44 @@ def _make_corpus(rng, n_images, n_cats, segm):
                 det = {"image_id": img, "category_id": dcat, "score": score}
                 det["bbox"] = [dx0, dy0, dw, dh]
                 if segm:
-                    dm = np.zeros((H, W), np.uint8)
-                    dm[int(dy0):int(dy0 + dh), int(dx0):int(dx0 + dw)] = 1
-                    det["segmentation"] = rle.encode(dm)
+                    _attach_seg(rng, det,
+                                _blob_mask(rng, dx0, dy0, dw, dh))
                 results.append(det)
+    for d in range(flood_dets):
+        dw = float(rng.uniform(8, 60))
+        dh = float(rng.uniform(8, 60))
+        dx0 = float(rng.uniform(0, W - dw))
+        dy0 = float(rng.uniform(0, H - dh))
+        # heavy exact-score ties across the truncation boundary
+        score = round(float(rng.uniform(0.05, 0.95)), 1)
+        det = {"image_id": 0, "category_id": 1, "score": score,
+               "bbox": [dx0, dy0, dw, dh]}
+        if segm:
+            _attach_seg(rng, det, _blob_mask(rng, dx0, dy0, dw, dh))
+        results.append(det)
     gt_data = {"images": images,
                "categories": [{"id": i + 1} for i in range(n_cats)],
                "annotations": anns}
     return gt_data, results
 
 
-@pytest.mark.parametrize("iou_type,seed,n_images", [
-    ("bbox", 0, 150), ("bbox", 1, 60), ("segm", 2, 60),
+@pytest.mark.parametrize("iou_type,seed,n_images,flood", [
+    ("bbox", 0, 150, 0), ("bbox", 1, 60, 0), ("segm", 2, 60, 0),
+    # >MAX_DETS (100) detections for one (image, category): exercises the
+    # score-sorted truncation boundary (lite_cocoeval.py dts[:max(MAX_DETS)])
+    # with exact score ties straddling position 100
+    ("bbox", 3, 20, 130), ("segm", 4, 12, 130),
 ])
-def test_lite_cocoeval_matches_independent_oracle(iou_type, seed, n_images):
+def test_lite_cocoeval_matches_independent_oracle(iou_type, seed, n_images,
+                                                  flood):
     rng = np.random.default_rng(seed)
     gt_data, results = _make_corpus(rng, n_images, n_cats=5,
-                                    segm=(iou_type == "segm"))
+                                    segm=(iou_type == "segm"),
+                                    flood_dets=flood)
+    if flood:
+        n01 = sum(1 for d in results
+                  if d["image_id"] == 0 and d["category_id"] == 1)
+        assert n01 > max(MAX_DETS), "flood case must exceed MAX_DETS"
     ev = LiteCOCOeval(COCOGroundTruth(gt_data), results, iou_type)
     got = ev.summarize()
 
