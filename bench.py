@@ -41,6 +41,18 @@ def main():
     model_cfg["pretrained"] = None
     model = build(model_cfg, model_module)
     variables = model.init_variables(jax.random.PRNGKey(0))
+    # ORIENMASK_BENCH_WEIGHTS=<ckpt>: bench with TRAINED weights — real
+    # detection counts through the NMS fixpoint + mask assembly instead of
+    # random-weight score collapse (VERDICT r2 task 8). Default stays random
+    # (weight-independent conv cost) so the driver needs no checkpoint.
+    wpath = os.environ.get("ORIENMASK_BENCH_WEIGHTS")
+    if wpath:
+        from orienmask_tpu.trainer.checkpoint import load_checkpoint
+
+        state = load_checkpoint(wpath, model)
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        print(f"bench: loaded weights from {wpath}", file=sys.stderr, flush=True)
     transform = build_transform(cfg["transform"])
     postprocess = build_postprocess(cfg["postprocess"], pack_masks=True)
     pipeline = InferencePipeline(

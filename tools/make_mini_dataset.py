@@ -36,42 +36,181 @@ ap.add_argument("--val-freq", type=int, default=1)
 ap.add_argument("--classes", type=int, default=80)
 ap.add_argument("--lr", type=float, default=1e-3)
 ap.add_argument("--warmup-iter", type=int, default=4)
+ap.add_argument("--max-instances", type=int, default=8,
+                help="loader per-image GT cap (static shape)")
+ap.add_argument("--num-workers", type=int, default=0,
+                help="loader workers; >=4 keeps a 544^2 rehearsal step-bound "
+                "rather than loader-bound (docs/PERFORMANCE.md sizing)")
+ap.add_argument("--scenes", choices=["simple", "cocostats"], default="simple",
+                help="cocostats: COCO-like statistics — ~40%% small objects "
+                "(area<32^2 at 544 scale), lognormal instance counts with "
+                "dense scenes at the cap, touching instance pairs, crowd "
+                "regions (eval-only, iscrowd=1), 80 color-coded classes "
+                "(VERDICT r2 task 3)")
 args = ap.parse_args()
 
 root = args.root
 img_dir = os.path.join(root, "images")
 os.makedirs(img_dir, exist_ok=True)
 rng = np.random.default_rng(0)
-# deterministic class->color table so classification is learnable when
-# --classes is small (same idea as tools/synthetic_ap.py scenes)
-palette = rng.integers(90, 255, (args.classes, 3))
+if args.scenes == "cocostats":
+    # maximally-spread HSV palette: 80 learnable class colors (hue x sat/val)
+    n_h = (args.classes + 3) // 4
+    hsv = np.zeros((args.classes, 1, 3), np.uint8)
+    for c in range(args.classes):
+        hsv[c, 0] = (int(179 * (c % n_h) / n_h),
+                     200 if (c // n_h) % 2 == 0 else 120,
+                     230 if (c // n_h) < 2 else 150)
+    palette = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR).reshape(-1, 3).astype(int)
+else:
+    # deterministic class->color table so classification is learnable when
+    # --classes is small (same idea as tools/synthetic_ap.py scenes)
+    palette = rng.integers(90, 255, (args.classes, 3))
 annos, names = {}, []
 gt_coco = {"images": [], "annotations": [], "categories": [
     {"id": cid, "name": f"c{cid}"} for cid in range(1, 81)]}
 aid = 1
+
+
+def _sample_shape(rng, w, h, cx, cy, bw, bh):
+    """Mask for one instance: rectangle, ellipse, or rotated quad."""
+    m = np.zeros((h, w), np.uint8)
+    x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
+    x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
+    x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
+    kind = rng.random()
+    if kind < 0.4:
+        cv2.rectangle(m, (x1, y1), (x2 - 1, y2 - 1), 1, -1)
+    elif kind < 0.75:
+        cv2.ellipse(m, ((x1 + x2) // 2, (y1 + y2) // 2),
+                    (max((x2 - x1) // 2, 1), max((y2 - y1) // 2, 1)),
+                    0, 0, 360, 1, -1)
+    else:  # rotated quad (still inside the box)
+        pts = np.array([
+            [x1 + (x2 - x1) * rng.uniform(0, 0.3), y1],
+            [x2 - 1, y1 + (y2 - y1) * rng.uniform(0, 0.3)],
+            [x2 - 1 - (x2 - x1) * rng.uniform(0, 0.3), y2 - 1],
+            [x1, y2 - 1 - (y2 - y1) * rng.uniform(0, 0.3)],
+        ], np.int32)
+        cv2.fillPoly(m, [pts], 1)
+    return m
+
+
+def _cocostats_scene(rng, i, w, h, aid):
+    """One scene with COCO-like statistics. Returns (img, train-anno lists,
+    gt_coco entries, next aid)."""
+    img = rng.integers(0, 70, (h, w, 3), np.uint8)
+    scale = args.size / 544.0  # size buckets defined at 544 scale
+    cap = args.max_instances
+    # instance count: lognormal-ish with a dense tail; a few scenes AT the cap
+    if i % 8 == 3:
+        n = cap  # dense scene at the static cap
+    else:
+        n = int(np.clip(rng.lognormal(1.3, 0.7), 1, cap))
+    placed = []  # (cx, cy, bw, bh, cls, mask-paint closure applied later)
+    k = 0
+    while k < n:
+        r = rng.random()
+        if r < 0.40:    # small: sqrt(area) 10..30 px at 544
+            s = rng.uniform(10, 30) * scale
+        elif r < 0.75:  # medium: 34..94
+            s = rng.uniform(34, 94) * scale
+        else:           # large: 98..300
+            s = rng.uniform(98, 300) * scale
+        ar = rng.uniform(0.6, 1.6)
+        bw = min(s * ar / w, 0.9)
+        bh = min(s / ar / h, 0.9)
+        cx = rng.uniform(bw / 2 + 0.01, 0.99 - bw / 2)
+        cy = rng.uniform(bh / 2 + 0.01, 0.99 - bh / 2)
+        placed.append((cx, cy, bw, bh))
+        k += 1
+        # ~20%: add a TOUCHING twin right next to it (shared edge)
+        if k < n and rng.random() < 0.2:
+            cx2 = cx + bw * rng.uniform(0.95, 1.05)
+            if cx2 + bw / 2 < 0.99:
+                placed.append((cx2, cy, bw, bh))
+                k += 1
+    # paint in order; later instances occlude earlier (visible-mask GT)
+    inst_masks, inst_cls = [], []
+    for (cx, cy, bw, bh) in placed:
+        cls = int(rng.integers(0, args.classes))
+        m = _sample_shape(rng, w, h, cx, cy, bw, bh)
+        if not m.any():
+            continue
+        img[m > 0] = np.clip(palette[cls] + rng.integers(-12, 12, 3), 0, 255)
+        for mm in inst_masks:
+            mm &= ~(m > 0)
+        inst_masks.append(m.astype(bool))
+        inst_cls.append(cls)
+    # optional crowd region: eval-ignore only (reference prepare_dataset drops
+    # crowd from TRAIN annos, /root/reference/utils/prepare_dataset.py:85-95,
+    # but COCOeval sees it as iscrowd=1 ignore)
+    crowd_entries = []
+    if i % 5 == 2:
+        cw, ch = int(w * rng.uniform(0.2, 0.35)), int(h * rng.uniform(0.15, 0.3))
+        cx0 = int(rng.uniform(0, w - cw))
+        cy0 = int(rng.uniform(0, h - ch))
+        stripes = (np.arange(w)[None, :] // 4 % 2).astype(np.uint8)
+        region = np.zeros((h, w), np.uint8)
+        region[cy0:cy0 + ch, cx0:cx0 + cw] = 1
+        cm = (region * stripes) > 0
+        img[cm] = rng.integers(90, 255, 3)
+        crowd_entries.append({
+            "id": -1, "image_id": i, "category_id": int(rng.integers(1, 81)),
+            "bbox": [float(cx0), float(cy0), float(cw), float(ch)],
+            "area": float(cm.sum()), "iscrowd": 1,
+            "segmentation": rle.encode(cm.astype(np.uint8))})
+    bboxes, clses, masks, gts = [], [], [], []
+    for m, cls in zip(inst_masks, inst_cls):
+        if not m.any():
+            continue  # fully occluded
+        ys, xs = np.nonzero(m)
+        x1, x2 = int(xs.min()), int(xs.max()) + 1
+        y1, y2 = int(ys.min()), int(ys.max()) + 1
+        bboxes.append([(x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                       (x2 - x1) / w, (y2 - y1) / h])
+        clses.append(cls)
+        masks.append(rle.encode(m.astype(np.uint8)))
+        gts.append({
+            "id": aid, "image_id": i, "category_id": cls + 1,
+            "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+            "area": float(m.sum()), "iscrowd": 0,
+            "segmentation": rle.encode(m.astype(np.uint8))})
+        aid += 1
+    for ce in crowd_entries:
+        ce["id"] = aid
+        aid += 1
+    return img, bboxes, clses, masks, gts + crowd_entries, aid
+
+
 for i in range(args.n_images):
     h = w = args.size
-    img = rng.integers(0, 80, (h, w, 3), np.uint8)
-    n = int(rng.integers(1, 4))
-    bboxes, clses, masks = [], [], []
-    for _ in range(n):
-        bw, bh = rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5)
-        cx, cy = rng.uniform(bw/2, 1-bw/2), rng.uniform(bh/2, 1-bh/2)
-        cls = int(rng.integers(0, args.classes))
-        x1, y1 = int((cx-bw/2)*w), int((cy-bh/2)*h)
-        x2, y2 = int((cx+bw/2)*w), int((cy+bh/2)*h)
-        color = tuple(int(c) for c in palette[cls])
-        cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
-        m = np.zeros((h, w), np.uint8); m[y1:y2, x1:x2] = 1
-        bboxes.append([cx, cy, bw, bh]); clses.append(cls)
-        masks.append(rle.encode(m))
-        gt_coco["annotations"].append({
-            "id": aid, "image_id": i, "category_id": cls + 1,
-            "bbox": [x1, y1, x2-x1, y2-y1], "area": float((x2-x1)*(y2-y1)),
-            "iscrowd": 0, "segmentation": rle.encode(m)})
-        aid += 1
+    if args.scenes == "cocostats":
+        img, bboxes, clses, masks, gts, aid = _cocostats_scene(rng, i, w, h, aid)
+        gt_coco["annotations"].extend(gts)
+    else:
+        img = rng.integers(0, 80, (h, w, 3), np.uint8)
+        n = int(rng.integers(1, 4))
+        bboxes, clses, masks = [], [], []
+        for _ in range(n):
+            bw, bh = rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5)
+            cx, cy = rng.uniform(bw/2, 1-bw/2), rng.uniform(bh/2, 1-bh/2)
+            cls = int(rng.integers(0, args.classes))
+            x1, y1 = int((cx-bw/2)*w), int((cy-bh/2)*h)
+            x2, y2 = int((cx+bw/2)*w), int((cy+bh/2)*h)
+            color = tuple(int(c) for c in palette[cls])
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+            m = np.zeros((h, w), np.uint8); m[y1:y2, x1:x2] = 1
+            bboxes.append([cx, cy, bw, bh]); clses.append(cls)
+            masks.append(rle.encode(m))
+            gt_coco["annotations"].append({
+                "id": aid, "image_id": i, "category_id": cls + 1,
+                "bbox": [x1, y1, x2-x1, y2-y1], "area": float((x2-x1)*(y2-y1)),
+                "iscrowd": 0, "segmentation": rle.encode(m)})
+            aid += 1
     name = f"img{i:03d}.jpg"
-    cv2.imwrite(os.path.join(img_dir, name), img)
+    cv2.imwrite(os.path.join(img_dir, name), img,
+                [cv2.IMWRITE_JPEG_QUALITY, 98])
     annos[name] = {"anno": {"bbox": bboxes, "cls": clses, "mask": masks}, "image_id": i}
     names.append(name)
     gt_coco["images"].append({"id": i, "file_name": name, "height": h, "width": w})
@@ -90,7 +229,8 @@ transform = dict(type="COCOTransform", pipeline=[
     dict(type="Normalize", mean=(0, 0, 0), std=(255, 255, 255)),
 ])
 loader = dict(dataset=ds, transform=transform, batch_size=args.batch_size,
-              num_workers=0, shuffle=True, drop_last=False, max_instances=8,
+              num_workers=args.num_workers, shuffle=True, drop_last=False,
+              max_instances=args.max_instances,
               pack_masks=True, image_transport="uint8")
 anchors = [[12,16],[19,36],[40,28],[36,75],[76,55],[72,146],[142,110],[192,243],[459,401]]
 anchors = [[a[0]*size/544, a[1]*size/544] for a in anchors]
