@@ -1,12 +1,18 @@
-"""Per-stage timing breakdown of the 544x544 bs=1 inference path on chip.
+"""Per-stage timing breakdown of the bs=1 inference path on chip.
 
 Times each subprogram with the pipelined methodology bench.py uses (device-
 resident I/O, N submissions, one sync): folded forward alone, detection
 (decode+selection+NMS) alone, mask assembly alone, full fused pipeline.
 Identifies where the remaining frame time goes.
 
-Run:  python tools/bench_breakdown.py [N]
+--size S (default 544, /32-divisible) rebuilds the transform/postprocess at
+that resolution the same way the 736 streaming config does (grid = S/32,
+S/16, S/8; anchors stay in input pixels, config/base.py:237-250) — used to
+anchor tools/spatial_cost_model.py at large resolutions (1088).
+
+Run:  python tools/bench_breakdown.py [N] [--size 1088]
 """
+import argparse
 import os
 import sys
 import time
@@ -18,7 +24,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+_ap = argparse.ArgumentParser()
+_ap.add_argument("n", nargs="?", type=int, default=200)
+_ap.add_argument("--size", type=int, default=544)
+_args = _ap.parse_args()
+N, SIZE = _args.n, _args.size
+assert SIZE % 32 == 0, "input size must be /32-divisible (model contract)"
 t0 = time.time()
 
 
@@ -53,8 +64,15 @@ def main():
     mc["pretrained"] = None
     model = build(mc, mm)
     variables = model.init_variables(jax.random.PRNGKey(0))
-    transform = build_transform(cfg["transform"])
-    pp = build_postprocess(cfg["postprocess"], pack_masks=True)
+    tf_cfg, pp_cfg = cfg["transform"], cfg["postprocess"]
+    if SIZE != 544:
+        import copy
+        tf_cfg, pp_cfg = copy.deepcopy(tf_cfg), copy.deepcopy(pp_cfg)
+        tf_cfg["pipeline"][0]["size"] = [SIZE, SIZE]
+        pp_cfg["image_size"] = [SIZE, SIZE]
+        pp_cfg["grid_size"] = [[SIZE // s, SIZE // s] for s in (32, 16, 8)]
+    transform = build_transform(tf_cfg)
+    pp = build_postprocess(pp_cfg, pack_masks=True)
     pipe = InferencePipeline(model, variables, transform, pp,
                             compute_dtype=cfg.get("compute_dtype", "bfloat16"))
     tick(f"devices: {jax.devices()}")
@@ -63,7 +81,7 @@ def main():
                        cv2.COLOR_BGR2RGB)
     image_u8 = jnp.asarray(np.ascontiguousarray(img, np.uint8)[None])
     x544 = jnp.asarray(
-        cv2.resize(img, (544, 544)).astype(np.float32)[None] / 255.0)
+        cv2.resize(img, (SIZE, SIZE)).astype(np.float32)[None] / 255.0)
 
     ctx = default_ctx(train=False, dtype=jnp.bfloat16)
     folded = pipe.folded
