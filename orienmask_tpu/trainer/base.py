@@ -61,6 +61,7 @@ class BaseTrainer:
         self.epochs = config["epochs"]
         self.val_freq = config.get("val_freq", 1)
         self.save_freq = config.get("save_freq", 1)
+        self.temp_save_freq = config.get("temp_save_freq", 1)
         self.monitor = "val_" + config["monitor"]
         self.monitor_mode = config["monitor_mode"]
         assert self.monitor_mode in ("min", "max", "off")
@@ -118,7 +119,12 @@ class BaseTrainer:
                         self.logger.info("Monitor is not improved from %f"
                                          % self.monitor_best)
                 self.ckpt_manager.save(epoch, self._checkpoint_state(epoch), save_best=best)
-            elif self.device_rank == 0:
+            elif self.device_rank == 0 and epoch % self.temp_save_freq == 0:
+                # Failure-recovery temp checkpoint. Cadence is configurable
+                # (``temp_save_freq``, default 1 = every non-val epoch like the
+                # reference's per-epoch saving): pulling ~500MB of state
+                # through a slow host link each epoch can dominate short
+                # epochs, and a coarser cadence only widens the resume window.
                 self.ckpt_manager.save(epoch, self._checkpoint_state(epoch), temp=True)
 
     def _train_epoch(self, epoch):

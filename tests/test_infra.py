@@ -70,3 +70,34 @@ def test_cpu_collective_cache_guard_installed():
     before = compiler.compile_or_get_cached
     _install_cpu_collective_cache_guard()  # idempotent: no double-wrap
     assert compiler.compile_or_get_cached is before
+
+
+def test_temp_save_freq_cadence(tmp_path):
+    """temp_save_freq thins the per-epoch failure-recovery checkpoint (default
+    1 = reference parity: a temp save on every non-val epoch)."""
+    from orienmask_tpu.trainer.base import BaseTrainer
+
+    class Stub(BaseTrainer):
+        def _train_epoch(self, epoch):
+            return {}
+
+        def _checkpoint_state(self, epoch):
+            return {"epoch": epoch, "params": {}, "batch_stats": {},
+                    "opt_state": {}, "monitor_best": 0.0, "config": self.config}
+
+    cfg = {"name": "cadence", "epochs": 5, "val_freq": 99, "save_freq": 99,
+           "temp_save_freq": 3, "monitor": "segm_AP", "monitor_mode": "off",
+           "log_dir": str(tmp_path)}
+    saves = []
+    t = Stub(cfg)
+    t.ckpt_manager.save = lambda epoch, state, **kw: saves.append(epoch)
+    t.train()
+    assert saves == [3]  # epochs 1,2,4,5 skipped
+
+    cfg2 = dict(cfg, name="cadence2")
+    cfg2.pop("temp_save_freq")
+    saves2 = []
+    t2 = Stub(cfg2)
+    t2.ckpt_manager.save = lambda epoch, state, **kw: saves2.append(epoch)
+    t2.train()
+    assert saves2 == [1, 2, 3, 4, 5]  # default: every epoch (parity)
