@@ -41,6 +41,9 @@ ap.add_argument("--max-instances", type=int, default=8,
 ap.add_argument("--num-workers", type=int, default=0,
                 help="loader workers; >=4 keeps a 544^2 rehearsal step-bound "
                 "rather than loader-bound (docs/PERFORMANCE.md sizing)")
+ap.add_argument("--temp-save-freq", type=int, default=1,
+                help="failure-recovery temp.ckpt cadence in epochs; >1 avoids "
+                "the per-epoch ~500MB state fetch on slow host links")
 ap.add_argument("--scenes", choices=["simple", "cocostats"], default="simple",
                 help="cocostats: COCO-like statistics — ~40%% small objects "
                 "(area<32^2 at 544 scale), lognormal instance counts with "
@@ -239,7 +242,8 @@ grids = [[size//32]*2, [size//16]*2, [size//8]*2]
 cfg = dict(
     name="mini_e2e", n_device=1, epochs=args.epochs, accumulate=args.accumulate,
     seed=0, monitor="segm_AP", monitor_mode="max", val_freq=args.val_freq,
-    save_freq=max(2, args.epochs // 4), log_freq=1, compute_dtype="bfloat16",
+    save_freq=max(2, args.epochs // 4), temp_save_freq=args.temp_save_freq,
+    log_freq=1, compute_dtype="bfloat16",
     model=dict(type="OrienMaskYOLOFPNPlus", num_anchors=3, num_classes=80,
                pretrained=None),
     train_loader=loader,
