@@ -43,6 +43,15 @@ def main():
     mc["pretrained"] = None
     model = build(mc, mm)
     variables = model.init_variables(jax.random.PRNGKey(0))
+    wpath = os.environ.get("ORIENMASK_BENCH_WEIGHTS")
+    if wpath:
+        # trained weights: real detection counts through NMS + mask assembly
+        # (same hook as bench.py; VERDICT r2 task 8)
+        from orienmask_tpu.trainer.checkpoint import load_checkpoint
+
+        st = load_checkpoint(wpath, model)
+        variables = {"params": st["params"], "batch_stats": st["batch_stats"]}
+        tick(f"loaded weights from {wpath}")
     pipe = InferencePipeline(
         model, variables, build_transform(cfg["transform"]),
         build_postprocess(cfg["postprocess"], pack_masks=True),
