@@ -41,6 +41,10 @@ ap.add_argument("--max-instances", type=int, default=8,
 ap.add_argument("--num-workers", type=int, default=0,
                 help="loader workers; >=4 keeps a 544^2 rehearsal step-bound "
                 "rather than loader-bound (docs/PERFORMANCE.md sizing)")
+ap.add_argument("--model", default="OrienMaskYOLOFPNPlus",
+                choices=["OrienMaskYOLO", "OrienMaskYOLOFPNPlus"],
+                help="model family for the emitted config (both train through "
+                "the same stack; reference config/base.py:99-111)")
 ap.add_argument("--temp-save-freq", type=int, default=1,
                 help="failure-recovery temp.ckpt cadence in epochs; >1 avoids "
                 "the per-epoch ~500MB state fetch on slow host links")
@@ -244,7 +248,7 @@ cfg = dict(
     seed=0, monitor="segm_AP", monitor_mode="max", val_freq=args.val_freq,
     save_freq=max(2, args.epochs // 4), temp_save_freq=args.temp_save_freq,
     log_freq=1, compute_dtype="bfloat16",
-    model=dict(type="OrienMaskYOLOFPNPlus", num_anchors=3, num_classes=80,
+    model=dict(type=args.model, num_anchors=3, num_classes=80,
                pretrained=None),
     train_loader=loader,
     val_loader=dict(loader, shuffle=False, image_transport="uint8"),
