@@ -36,12 +36,15 @@ jax.config.update("jax_platforms", "cpu")  # analysis only — never the chip
 import jax.numpy as jnp
 from jax.extend import core as jex_core
 
-# Measured single-chip anchors (docs/PERFORMANCE.md, 2026-08-19, v5e via axon):
-# fused bs=1 frame split into sharded-able forward vs replicated tail.
+# Measured single-chip anchors (docs/PERFORMANCE.md, 2026-08-19, v5e via axon;
+# tools/bench_breakdown.py --size N): fused bs=1 frame split into the
+# sharded-able forward vs the replicated detect+masks tail. In-program fwd =
+# standalone fwd minus ~0.3 ms separate-dispatch overhead; tail = fused-frame
+# minus in-program fwd.
 MEASURED = {
-    544: {"fwd_ms": 1.55, "tail_ms": 0.85},   # 2.38 ms fused frame
-    736: {"fwd_ms": 4.20, "tail_ms": 1.40},   # 5.6 ms fused frame
-    # 1088 anchor filled from tools/bench_breakdown.py --size 1088 when run.
+    544: {"fwd_ms": 1.55, "tail_ms": 0.85},    # 2.38 ms fused frame
+    736: {"fwd_ms": 2.81, "tail_ms": 1.51},    # 4.31 ms fused (fwd 3.11 standalone)
+    1088: {"fwd_ms": 6.50, "tail_ms": 1.89},   # 8.39 ms fused (fwd 6.80 standalone)
 }
 ICI_GBPS = 45.0      # v5e per-link one-direction (scaling book)
 HOP_US = 1.0         # per-exchange latency
