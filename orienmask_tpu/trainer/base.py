@@ -76,7 +76,11 @@ class BaseTrainer:
             self.tensorboard = None
 
         self.ckpt_manager = CheckpointManager(
-            self.checkpoint_dir, self.save_freq, self.logger
+            self.checkpoint_dir, self.save_freq, self.logger,
+            # async_checkpoint: fetch+serialize state in a worker thread while
+            # the next epoch trains (checkpoint.py module doc). Default off =
+            # reference-parity synchronous saving.
+            async_save=config.get("async_checkpoint", False),
         )
         self._resume_path = resume
         self._weights_path = weights
@@ -126,6 +130,7 @@ class BaseTrainer:
                 # through a slow host link each epoch can dominate short
                 # epochs, and a coarser cadence only widens the resume window.
                 self.ckpt_manager.save(epoch, self._checkpoint_state(epoch), temp=True)
+        self.ckpt_manager.wait()  # drain any in-flight async save
 
     def _train_epoch(self, epoch):
         raise NotImplementedError

@@ -9,10 +9,21 @@ load-bearing: test/infer rebuild the exact model from it.
 
 Also loads reference ``.pth`` checkpoints transparently (torch format -> converted
 weights), so published OrienMask weights drop in without retraining.
+
+Async mode (``async_checkpoint: true`` in the train config): the device->host
+state fetch is the slow part — ~500 MB of params+momentum+BN stats, measured
+~50 s/epoch through the axon relay (docs/PERFORMANCE.md) — and it needs no
+device compute, so ``CheckpointManager(async_save=True)`` runs the whole
+fetch+serialize in a worker thread while the next epoch trains.  Safe because
+jax Arrays are immutable (the captured pytree is a snapshot by construction)
+and device_get is thread-safe; at most one save is in flight (each save joins
+the previous one, preserving file-write order), and worker exceptions re-raise
+on the next save()/wait().  Default off = reference-parity synchronous saving.
 """
 
 import os
 import pickle
+import threading
 
 import jax
 import numpy as np
@@ -26,8 +37,12 @@ def _to_host(tree):
 
 
 def save_checkpoint(path, state):
-    with open(path, "wb") as fh:
+    # atomic: a crash mid-write must not leave a truncated file where resume
+    # (-r temp.ckpt) or test.py would trust it
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         pickle.dump(_to_host(state), fh, protocol=4)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path, model=None):
@@ -54,19 +69,49 @@ def load_checkpoint(path, model=None):
 
 
 class CheckpointManager:
-    def __init__(self, checkpoint_dir, save_freq, logger=None):
+    def __init__(self, checkpoint_dir, save_freq, logger=None, async_save=False):
         self.dir = checkpoint_dir
         self.save_freq = save_freq
         self.logger = logger
+        self.async_save = async_save
+        self._worker = None
+        self._worker_error = None
 
     def _log(self, msg):
         if self.logger:
             self.logger.info(msg)
 
+    def wait(self):
+        """Join the in-flight async save (no-op when idle / synchronous).
+        Call before reading a file this manager may still be writing, and at
+        the end of training."""
+        if self._worker is not None:
+            self._worker.join()
+            self._worker = None
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+
     def save(self, epoch, state, save_best=False, temp=False):
         if not (epoch % self.save_freq == 0 or save_best or temp):
             return
-        state = _to_host(state)
+        if not self.async_save:
+            self._save_now(epoch, _to_host(state), save_best, temp)
+            return
+        self.wait()  # one in flight: keeps write order, surfaces errors
+
+        def run():
+            try:
+                # device->host fetch happens HERE, off the training thread;
+                # the captured device pytree is an immutable snapshot
+                self._save_now(epoch, _to_host(state), save_best, temp)
+            except BaseException as e:  # re-raised by the next save()/wait()
+                self._worker_error = e
+
+        self._worker = threading.Thread(target=run, name="ckpt-save", daemon=True)
+        self._worker.start()
+
+    def _save_now(self, epoch, state, save_best, temp):
         if epoch % self.save_freq == 0:
             path = os.path.join(self.dir, f"epoch{epoch}.ckpt")
             save_checkpoint(path, state)

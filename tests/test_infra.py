@@ -101,3 +101,46 @@ def test_temp_save_freq_cadence(tmp_path):
     t2.ckpt_manager.save = lambda epoch, state, **kw: saves2.append(epoch)
     t2.train()
     assert saves2 == [1, 2, 3, 4, 5]  # default: every epoch (parity)
+
+
+def test_async_checkpoint_equivalence_and_errors(tmp_path):
+    """async_save=True writes the same bytes-equivalent state off-thread;
+    worker exceptions surface on the next wait()/save()."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    state = {"epoch": 3, "params": {"w": jnp.arange(5.0)},
+             "batch_stats": {}, "opt_state": {"m": jnp.ones(2)},
+             "monitor_best": 0.5, "config": {"model": "m"}}
+
+    sync = CheckpointManager(str(tmp_path / "s"), save_freq=1)
+    os.makedirs(tmp_path / "s")
+    sync.save(3, state, save_best=True)
+
+    os.makedirs(tmp_path / "a")
+    amgr = CheckpointManager(str(tmp_path / "a"), save_freq=1, async_save=True)
+    amgr.save(3, state, save_best=True)
+    amgr.wait()
+
+    for name in ("epoch3.ckpt", "best_epoch3.ckpt", "best_model.ckpt"):
+        a = load_checkpoint(str(tmp_path / "a" / name))
+        s = load_checkpoint(str(tmp_path / "s" / name))
+        np.testing.assert_array_equal(a["params"]["w"], s["params"]["w"])
+        np.testing.assert_array_equal(a["opt_state"]["m"], s["opt_state"]["m"])
+        assert a["epoch"] == 3 and a["config"] == {"model": "m"}
+    # no stray .tmp files (atomic rename)
+    assert not [f for f in os.listdir(tmp_path / "a") if f.endswith(".tmp")]
+
+    # error propagation: unpicklable leaf -> raised at wait(), manager reusable
+    bad = dict(state, config={"fh": open(__file__)})
+    amgr.save(4, bad, temp=True)
+    try:
+        amgr.wait()
+        raise AssertionError("expected pickling error")
+    except TypeError:
+        pass
+    bad["config"]["fh"].close()
+    amgr.save(5, state, temp=True)  # manager still works after the error
+    amgr.wait()
+    assert load_checkpoint(str(tmp_path / "a" / "temp.ckpt"))["epoch"] == 3
