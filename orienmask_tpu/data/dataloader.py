@@ -152,6 +152,59 @@ class DataLoader:
                 p.terminate()
         self._workers = []
 
+    def _sample_stream(self, all_jobs):
+        """Yield the samples for ``all_jobs`` (dataset indices) in order.
+
+        Inline when ``num_workers == 0``; otherwise windowed dispatch over the
+        worker pool: at most ``max_inflight`` samples are queued or in the
+        reorder buffer, and each consumed sample releases the next job."""
+        if self.num_workers == 0:
+            for idx in all_jobs:
+                yield self._fetch(idx)
+            return
+
+        self._ensure_workers()
+        self._gen += 1
+        gen = self._gen
+        dispatched = 0
+        consumed = 0
+
+        def pump():
+            nonlocal dispatched
+            while (dispatched < len(all_jobs)
+                   and dispatched - consumed < self.max_inflight):
+                self._task_q.put(
+                    (gen, dispatched, all_jobs[dispatched], self.epoch)
+                )
+                dispatched += 1
+            self.inflight_peak = max(self.inflight_peak, dispatched - consumed)
+
+        pump()
+        buf = {}
+        for next_job in range(len(all_jobs)):
+            while next_job not in buf:
+                try:
+                    rgen, jid, sample, err = self._result_q.get(
+                        timeout=self._RESULT_POLL_S)
+                except queue.Empty:
+                    # A worker killed by the OS (OOM, segfault) can't
+                    # report its job; without this check the epoch hangs
+                    # forever on a silent get().
+                    dead = [p for p in self._workers if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"DataLoader worker(s) died: "
+                            f"{[p.exitcode for p in dead]}")
+                    continue
+                if rgen != gen:
+                    continue  # leftover from an abandoned iterator
+                if err is not None:
+                    raise RuntimeError(f"DataLoader worker failed: {err}")
+                buf[jid] = sample
+            yield buf.pop(next_job)
+            consumed += 1
+            pump()
+
     def __iter__(self):
         indices = self._indices()
         nb = len(self)
@@ -173,61 +226,10 @@ class DataLoader:
                         s["info"] = dict(s["info"], _pad=True)
             return self.collate_fn(samples)
 
-        if self.num_workers == 0:
-            for batch_idx in batches:
-                samples = [self._fetch(idx) for idx in batch_idx]
-                yield finalize(samples, pad_counts.pop(0))
-            return
-
-        self._ensure_workers()
-        self._gen += 1
-        gen = self._gen
-        # windowed dispatch: keep at most max_inflight samples queued or in
-        # the reorder buffer; each consumed sample releases the next job
-        all_jobs = [int(idx) for batch_idx in batches for idx in batch_idx]
-        dispatched = 0
-        consumed = 0
-
-        def pump():
-            nonlocal dispatched
-            while (dispatched < len(all_jobs)
-                   and dispatched - consumed < self.max_inflight):
-                self._task_q.put(
-                    (gen, dispatched, all_jobs[dispatched], self.epoch)
-                )
-                dispatched += 1
-            self.inflight_peak = max(self.inflight_peak, dispatched - consumed)
-
-        pump()
-        buf = {}
-        next_job = 0
-        for batch_idx in batches:
-            samples = []
-            for _ in batch_idx:
-                while next_job not in buf:
-                    try:
-                        rgen, jid, sample, err = self._result_q.get(
-                            timeout=self._RESULT_POLL_S)
-                    except queue.Empty:
-                        # A worker killed by the OS (OOM, segfault) can't
-                        # report its job; without this check the epoch hangs
-                        # forever on a silent get().
-                        dead = [p for p in self._workers if not p.is_alive()]
-                        if dead:
-                            raise RuntimeError(
-                                f"DataLoader worker(s) died: "
-                                f"{[p.exitcode for p in dead]}")
-                        continue
-                    if rgen != gen:
-                        continue  # leftover from an abandoned iterator
-                    if err is not None:
-                        raise RuntimeError(f"DataLoader worker failed: {err}")
-                    buf[jid] = sample
-                samples.append(buf.pop(next_job))
-                next_job += 1
-                consumed += 1
-                pump()
-            yield finalize(samples, pad_counts.pop(0))
+        stream = self._sample_stream(
+            [int(idx) for batch_idx in batches for idx in batch_idx])
+        for batch_idx, pad in zip(batches, pad_counts):
+            yield finalize([next(stream) for _ in batch_idx], pad)
 
 
 class AspectRatioGroupedDataloader(DataLoader):
@@ -235,17 +237,17 @@ class AspectRatioGroupedDataloader(DataLoader):
     batches (reference data/dataloader.py:6-57). Registered for parity; unused
     by shipped configs.
 
-    Samples load inline (single process — grouping needs the decoded image
-    shape before batching, so the prefetch pool does not apply) with the same
-    deterministic (seed, epoch, idx) augmentation RNG as ``DataLoader``.
-    ``len()`` is an upper bound: bucket boundaries depend on the aspect-ratio
-    sequence, so the exact batch count is only known after iteration."""
+    Samples ride the same multiprocess prefetch stream as ``DataLoader``
+    (grouping consumes decoded samples in index order, so the windowed worker
+    dispatch applies unchanged) with the deterministic (seed, epoch, idx)
+    augmentation RNG. ``len()`` is an upper bound: bucket boundaries depend on
+    the aspect-ratio sequence, so the exact batch count is only known after
+    iteration."""
 
     def __iter__(self):
         groups = [[], []]
         indices = self._indices()
-        for idx in indices:
-            sample = self._fetch(idx)
+        for sample in self._sample_stream([int(i) for i in indices]):
             h, w = sample["image"].shape[:2]
             groups[0 if h > w else 1].append(sample)
             for g in groups:

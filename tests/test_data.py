@@ -137,6 +137,38 @@ def test_dataloader_bounded_inflight_slow_consumer(mini_coco):
     assert 0 < dl.inflight_peak <= dl.max_inflight
 
 
+def test_aspect_grouped_loader_workers_match_inline(mini_coco):
+    """AspectRatioGroupedDataloader rides the same multiprocess prefetch
+    stream as DataLoader; grouped batches must be identical inline vs with
+    workers (same deterministic (seed, epoch, idx) RNG, same index order into
+    the portrait/landscape buckets)."""
+    from orienmask_tpu.data.dataloader import AspectRatioGroupedDataloader
+
+    list_file, img_dir, anno_file = mini_coco
+    ds = COCODataset(list_file, img_dir, anno_file)  # raw sizes: mixed aspects
+
+    def run(num_workers):
+        dl = AspectRatioGroupedDataloader(
+            ds, batch_size=2, shuffle=True, num_workers=num_workers,
+            collate_fn=lambda b: b, seed=3)
+        batches = list(dl)
+        dl.shutdown()
+        return batches
+
+    inline, workers = run(0), run(2)
+    assert len(inline) == len(workers)
+    assert sum(len(b) for b in inline) == 8
+    saw_group_batch = False
+    for b0, b2 in zip(inline, workers):
+        assert len(b0) == len(b2)
+        for s0, s2 in zip(b0, b2):
+            np.testing.assert_array_equal(s0["image"], s2["image"])
+        orients = {s["image"].shape[0] > s["image"].shape[1] for s in b0}
+        if len(b0) == 2 and len(orients) == 1:
+            saw_group_batch = True
+    assert saw_group_batch  # grouping actually produced homogeneous batches
+
+
 def test_dataloader_dead_worker_raises(mini_coco, monkeypatch):
     """A worker killed by the OS (OOM, segfault) can never report its job;
     the parent must raise — not block forever on the result queue (the poll
