@@ -31,8 +31,12 @@ BN_MOMENTUM = 0.1
 LEAKY_SLOPE = 0.1
 
 
-def default_ctx(train=False, dtype=jnp.float32):
-    return {"train": train, "dtype": dtype}
+def default_ctx(train=False, dtype=jnp.float32, remat=False):
+    """``remat``: rematerialize the backbone stages in the backward pass
+    (jax.checkpoint per stage) — trades ~1/3 more forward FLOPs for not
+    holding every stage's activations between forward and backward, raising
+    the max trainable batch/resolution per chip (config key ``remat``)."""
+    return {"train": train, "dtype": dtype, "remat": remat}
 
 
 def frozen_stage_ctx(bctx, name, frozen_names):

@@ -50,7 +50,10 @@ class InferencePipeline:
         # transform resizes (warps) to the exact network size; pad is a no-op
         self.pad_info = (0, 0, 0, 0, h, w)
 
-    def _build(self, in_shape):
+    def _make_run(self, in_shape):
+        """The untraced (folded_weights, image_u8) -> padded-output function for
+        one input shape.  Split from ``_build`` so ``serving.export_pipeline``
+        can hand the exact same computation to ``jax.export``."""
         from .models.layers import phase_resize
 
         h, w = self.transform.size
@@ -82,6 +85,10 @@ class InferencePipeline:
                 predict = self.model.apply_folded(folded, x, ctx)
             return self.postprocess._run_batch(predict)
 
+        return run
+
+    def _build(self, in_shape):
+        run = self._make_run(in_shape)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -1,0 +1,164 @@
+"""AOT export / serving: freeze the fused image->masks program to disk.
+
+``export_pipeline`` serializes the exact per-resolution XLA program that
+``pipeline.InferencePipeline`` runs (device resize/normalize + folded-BN bf16
+forward + decode + NMS + mask assembly) through ``jax.export`` (StableHLO with
+a versioned calling convention), next to the folded weights and a JSON
+manifest.  ``load_serving`` brings it back WITHOUT any model construction,
+weight folding, or retracing — a serving host needs jax + this artifact, not
+the framework's model zoo.
+
+This is a beyond-reference capability: the reference serves from the live
+torch module only (reference ``infer.py:60-76`` rebuilds the model and loads
+``.pth`` weights on every process start).  Artifact layout:
+
+    manifest.json                 input/output spec, trim rules, versions
+    weights.npz                   folded weights, flattened in treedef order
+    program_{B}x{H}x{W}x3.jaxexp  serialized Exported, one per input shape
+
+The weights ride OUTSIDE the programs (as call arguments), so N exported
+resolutions share one weight blob instead of embedding ~100 MB of constants
+each, and a weight refresh (new checkpoint, same architecture) is an npz swap
+that does not touch the programs.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MANIFEST = "manifest.json"
+WEIGHTS = "weights.npz"
+_FORMAT_VERSION = 1
+
+
+def _program_name(shape):
+    return "program_" + "x".join(str(int(s)) for s in shape) + ".jaxexp"
+
+
+def export_pipeline(pipeline, input_shapes, out_dir, platforms=None):
+    """Export ``pipeline`` (an ``InferencePipeline``) for serving.
+
+    input_shapes: list of (B, H, W, 3) uint8 input shapes — one program each
+      (the per-resolution program model of SURVEY.md §5.7, frozen to disk).
+    platforms: optional list for cross-platform artifacts (e.g.
+      ``["tpu", "cpu"]``); default = the exporting process's backend.  Note
+      the Pallas mask kernel is TPU-only — a cpu-including export must come
+      from a pipeline whose postprocess was built with
+      ``use_pallas_masks=False``.
+    """
+    if pipeline.mesh is not None:
+        raise ValueError("serving export is single-device; build the "
+                         "pipeline without a spatial mesh")
+    if not input_shapes:
+        raise ValueError("input_shapes must name at least one (B, H, W, 3)")
+    os.makedirs(out_dir, exist_ok=True)
+
+    flat, treedef = jax.tree_util.tree_flatten(pipeline.folded)
+    # npz can't represent ml_dtypes extension dtypes (bfloat16 kernels come
+    # back as void '|V2'): store those as same-width integer views and record
+    # the true dtype in the manifest.
+    blobs, weight_dtypes = {}, []
+    for i, leaf in enumerate(flat):
+        arr = np.asarray(leaf)
+        weight_dtypes.append(arr.dtype.name)
+        if arr.dtype.kind == "V":  # extension dtype (bfloat16 etc.)
+            arr = arr.view("u%d" % arr.dtype.itemsize)
+        blobs["w%05d" % i] = arr
+    np.savez(os.path.join(out_dir, WEIGHTS), **blobs)
+
+    programs = {}
+    for shape in input_shapes:
+        shape = tuple(int(s) for s in shape)
+        run = pipeline._make_run(shape)
+
+        def run_flat(flat_w, image_u8, _run=run):
+            return _run(jax.tree_util.tree_unflatten(treedef, list(flat_w)),
+                        image_u8)
+
+        exp = jax.export.export(jax.jit(run_flat), platforms=platforms)(
+            tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in flat),
+            jax.ShapeDtypeStruct(shape, jnp.uint8),
+        )
+        name = _program_name(shape)
+        with open(os.path.join(out_dir, name), "wb") as fh:
+            fh.write(exp.serialize())
+        programs[name] = {"input_shape": list(shape)}
+
+    post = pipeline.postprocess
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(exp.platforms),
+        "n_weights": len(flat),
+        "weight_dtypes": weight_dtypes,
+        "programs": programs,
+        # host-side trim rules (postprocess.to_host_list semantics)
+        "pack_masks": bool(post.pack_masks),
+        "image_size": [int(post.image_h), int(post.image_w)],
+        "pad_info": list(pipeline.pad_info),
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+class ServingModel:
+    """A deserialized serving artifact.  API mirrors ``InferencePipeline``:
+    ``run_device`` returns the padded device dict, ``__call__`` returns
+    (per-image trimmed numpy dicts, pad_info)."""
+
+    def __init__(self, out_dir):
+        with open(os.path.join(out_dir, MANIFEST)) as fh:
+            self.manifest = json.load(fh)
+        if self.manifest["format_version"] > _FORMAT_VERSION:
+            raise ValueError("artifact format %d is newer than this loader"
+                             % self.manifest["format_version"])
+        blob = np.load(os.path.join(out_dir, WEIGHTS))
+        dtypes = self.manifest["weight_dtypes"]
+        self.weights = tuple(
+            jnp.asarray(blob["w%05d" % i].view(np.dtype(dtypes[i])))
+            for i in range(self.manifest["n_weights"]))
+        self._dir = out_dir
+        self._fns = {}
+        for name, meta in self.manifest["programs"].items():
+            with open(os.path.join(out_dir, name), "rb") as fh:
+                exp = jax.export.deserialize(fh.read())
+            self._fns[tuple(meta["input_shape"])] = jax.jit(exp.call)
+        self.pad_info = tuple(self.manifest["pad_info"])
+        self.image_h, self.image_w = self.manifest["image_size"]
+        self.pack_masks = self.manifest["pack_masks"]
+
+    @property
+    def input_shapes(self):
+        return sorted(self._fns)
+
+    def run_device(self, image):
+        key = tuple(int(s) for s in image.shape)
+        if key not in self._fns:
+            raise KeyError("no exported program for input shape %s "
+                           "(artifact has %s)" % (key, self.input_shapes))
+        return self._fns[key](self.weights, jnp.asarray(image, jnp.uint8))
+
+    def to_host_list(self, device_out):
+        out = jax.device_get(device_out)
+        results = []
+        for b in range(out["bbox"].shape[0]):
+            n = int(out["valid"][b].sum())
+            masks = out["mask"][b, :n]
+            if self.pack_masks:
+                from .ops.maskops import unpack_bits_np
+
+                masks = unpack_bits_np(masks, self.image_w)
+            results.append({"bbox": out["bbox"][b, :n], "mask": masks,
+                            "cls": out["cls"][b, :n]})
+        return results
+
+    def __call__(self, image):
+        return self.to_host_list(self.run_device(image)), self.pad_info
+
+
+def load_serving(out_dir):
+    return ServingModel(out_dir)

@@ -43,7 +43,8 @@ def unpack_target(batch):
 
 
 def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
-                    compute_dtype=jnp.float32, follow_batch_sharding=False):
+                    compute_dtype=jnp.float32, follow_batch_sharding=False,
+                    remat=False):
     """Returns (train_step, init_state_fn).
 
     state = {'params', 'batch_stats', 'opt_state', 'grad_acc'?}
@@ -63,7 +64,7 @@ def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
     def loss_of(params, stats, batch):
         from ..models.layers import default_ctx
 
-        ctx = default_ctx(train=True, dtype=compute_dtype)
+        ctx = default_ctx(train=True, dtype=compute_dtype, remat=remat)
         out, new_stats = model.apply(params, stats, _image_f32(batch["image"]), ctx)
         target = unpack_target(batch)
         loss_sum, loss_log, _ = loss_fn(out, target, training=True)

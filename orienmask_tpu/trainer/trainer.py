@@ -54,6 +54,7 @@ class Trainer(BaseTrainer):
             model, loss, optimizer, mesh,
             accumulate=self.accumulate, compute_dtype=dtype,
             follow_batch_sharding=self.spatial,
+            remat=config.get("remat", False),
         )
         self.eval_step = make_eval_step(model, loss, mesh, dtype)
         self.state = init_state(variables)
