@@ -68,6 +68,14 @@ def main():
         img = np.random.default_rng(0).integers(0, 255, (480, 640, 3), np.uint8)
     image = np.ascontiguousarray(img, np.uint8)[None]
 
+    # ORIENMASK_BENCH_INT8=1: post-training int8 conv path (models/quantize.py)
+    # calibrated on the bench image (throughput is calibration-independent;
+    # accuracy A/B lives in tools/validate_int8.py).
+    int8 = bool(os.environ.get("ORIENMASK_BENCH_INT8"))
+    if int8:
+        pipeline.quantize_int8(image)
+        print("bench: int8 quantized", file=sys.stderr, flush=True)
+
     # compile + warmup
     for _ in range(10):
         out = pipeline.run_device(image)
@@ -104,7 +112,7 @@ def main():
     np.asarray(outs[-1]["bbox"])
 
     print(json.dumps({
-        "metric": "e2e_fps_544_bs1",
+        "metric": "e2e_fps_544_bs1" + ("_int8" if int8 else ""),
         "value": round(fps, 2),
         "unit": "images/s",
         "vs_baseline": round(fps / 42.7, 3),

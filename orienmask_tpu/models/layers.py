@@ -30,6 +30,10 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
 LEAKY_SLOPE = 0.1
 
+# Armed by models.quantize.calibrate_folded during its eager CPU pass:
+# {id(folded kernel): running input absmax}.  None in normal operation.
+_CALIB_OBSERVER = None
+
 
 def default_ctx(train=False, dtype=jnp.float32, remat=False):
     """``remat``: rematerialize the backbone stages in the backward pass
@@ -176,6 +180,26 @@ class ConvBNLeaky(Module):
         return {"kernel": kernel, "bias": bias}
 
     def apply_folded(self, folded, x, ctx):
+        # int8 leaf (models/quantize.py): symmetric per-tensor input quant +
+        # per-channel weight quant; the conv contracts int8xint8->int32 on
+        # the MXU's double-rate int8 path, and the quant/dequant elementwise
+        # ops fuse into the conv epilogues.
+        if "qkernel" in folded:
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) * folded["in_inv"]),
+                         -127, 127).astype(jnp.int8)
+            pad = ((self.padding, self.padding), (self.padding, self.padding))
+            y = jax.lax.conv_general_dilated(
+                q, folded["qkernel"], (self.stride, self.stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * folded["oscale"] + folded["bias"]
+            if self.activation == "leaky":
+                y = leaky_relu(y)
+            return y.astype(ctx["dtype"])
+        if _CALIB_OBSERVER is not None and not isinstance(x, jax.core.Tracer):
+            k = folded["kernel"]
+            a = float(jnp.max(jnp.abs(x)))
+            _CALIB_OBSERVER[id(k)] = max(_CALIB_OBSERVER.get(id(k), 0.0), a)
         # Stay in the compute dtype between folded convs: every conv input is
         # truncated to it anyway, so upcasting in between only costs HBM
         # bandwidth. Prediction heads (plain Conv) still emit f32.

@@ -50,6 +50,28 @@ class InferencePipeline:
         # transform resizes (warps) to the exact network size; pad is a no-op
         self.pad_info = (0, 0, 0, 0, h, w)
 
+    def quantize_int8(self, calib_images):
+        """Switch the folded forward to int8 convs (models/quantize.py).
+
+        ``calib_images``: (N, H, W, 3) uint8/float raw images used to
+        calibrate the per-conv activation scales (an eager CPU pass; a
+        handful of representative images suffices).  Compiled programs are
+        rebuilt on next use.  The phase stem and head logit convs stay
+        bf16/f32 — see the quantize module docstring for the scheme.
+        """
+        from .models.quantize import calibrate_folded, quantize_folded
+
+        scales = calibrate_folded(self.model, self.folded, calib_images,
+                                  transform=self.transform)
+        self.folded = quantize_folded(self.model, self.folded, scales)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.folded = jax.device_put(
+                self.folded, NamedSharding(self.mesh, P()))
+        self._fns = {}
+        return self
+
     def _make_run(self, in_shape):
         """The untraced (folded_weights, image_u8) -> padded-output function for
         one input shape.  Split from ``_build`` so ``serving.export_pipeline``
