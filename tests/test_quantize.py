@@ -61,12 +61,12 @@ def tiny_quantized():
         DarkNet53.STAGE_BLOCKS = orig
 
 
-def test_stem_and_heads_stay_float(tiny_quantized):
+def test_quantized_tree_structure(tiny_quantized):
     model, folded, qfolded, scales = tiny_quantized
-    # phase stem stays float (its kernels are re-derived in the program)
-    assert "kernel" in qfolded["backbone"]["conv1"]
-    assert "kernel" in qfolded["backbone"]["conv2"][0]
-    assert "kernel" in qfolded["backbone"]["conv3"][0]
+    # the phase stem quantizes (int8 masters -> int8 derived phase kernels)
+    assert "qkernel" in qfolded["backbone"]["conv1"]
+    assert "qkernel" in qfolded["backbone"]["conv2"][0]
+    assert "qkernel" in qfolded["backbone"]["conv3"][0]
     # deep backbone + neck convs are quantized
     assert "qkernel" in qfolded["backbone"]["conv4"][0]
     assert qfolded["backbone"]["conv4"][0]["qkernel"].dtype == jnp.int8
@@ -78,6 +78,14 @@ def test_stem_and_heads_stay_float(tiny_quantized):
     assert "qkernel" in qfolded["bbox_head32"][0]
     # per-channel weight scale shape
     assert qfolded["backbone"]["conv4"][0]["oscale"].shape == (256,)
+    # exclude_stem=True keeps the stem float
+    from orienmask_tpu.models.quantize import quantize_folded
+
+    q2 = quantize_folded(model, folded, scales, exclude_stem=True)
+    assert "kernel" in q2["backbone"]["conv1"]
+    assert "kernel" in q2["backbone"]["conv2"][0]
+    assert "kernel" in q2["backbone"]["conv3"][0]
+    assert "qkernel" in q2["backbone"]["conv4"][0]
 
 
 def test_quantized_outputs_close(tiny_quantized):

@@ -27,6 +27,9 @@ import jax.numpy as jnp
 _ap = argparse.ArgumentParser()
 _ap.add_argument("n", nargs="?", type=int, default=200)
 _ap.add_argument("--size", type=int, default=544)
+_ap.add_argument("--int8", action="store_true",
+                 help="quantize the pipeline first (models/quantize.py) and "
+                      "break down the int8 frame")
 _args = _ap.parse_args()
 N, SIZE = _args.n, _args.size
 assert SIZE % 32 == 0, "input size must be /32-divisible (model contract)"
@@ -84,10 +87,14 @@ def main():
         cv2.resize(img, (SIZE, SIZE)).astype(np.float32)[None] / 255.0)
 
     ctx = default_ctx(train=False, dtype=jnp.bfloat16)
+    if _args.int8:
+        pipe.quantize_int8(np.ascontiguousarray(img, np.uint8)[None])
+        tick("int8-quantized (calibrated on the bench image)")
     folded = pipe.folded
 
     fwd = jax.jit(lambda f, xx: model.apply_folded(f, xx, ctx))
-    t_fwd = timed("folded forward (bf16)", fwd, folded, x544)
+    t_fwd = timed("folded forward (%s)" % ("int8" if _args.int8 else "bf16"),
+                  fwd, folded, x544)
 
     detect = jax.jit(lambda pred: jax.vmap(pp._detect_image)(
         [p[0] for p in pred]))

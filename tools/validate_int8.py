@@ -93,6 +93,8 @@ def main():
                     default="/tmp/cocostats_544/test_config.json")
     ap.add_argument("--calib", type=int, default=8,
                     help="number of val images used for activation calibration")
+    ap.add_argument("--stem", action="store_true",
+                    help="also quantize the space-to-depth phase stem")
     ap.add_argument("--limit", type=int, default=0,
                     help="evaluate only the first N images (0 = all)")
     args = ap.parse_args()
@@ -126,7 +128,7 @@ def main():
     calib = np.stack([cv2.resize(im, (images[0].shape[1], images[0].shape[0]))
                       for im in images[:args.calib]])
     tick(f"calibrating int8 on {len(calib)} images (eager CPU pass)")
-    pipe.quantize_int8(calib)
+    pipe.quantize_int8(calib, stem=args.stem)
     tick("quantized; recompiling")
     q = evaluate(pipe, images, infos, gt_file, cat2label, "int8")
 
