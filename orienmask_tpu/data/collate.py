@@ -8,10 +8,16 @@ masks are optionally bit-packed (8 pixels/byte) to cut host->device transfer 8x;
 the loss unpacks them on-device.
 """
 
+import logging
 import math
-import warnings
 
 import numpy as np
+
+_logger = logging.getLogger("orienmask_tpu.data.collate")
+
+# Cumulative truncation tally for THIS process (dataloader workers each have
+# their own; every drop is also logged, which crosses the process boundary).
+TRUNCATION_STATS = {"samples": 0, "instances_dropped": 0}
 
 
 def naive_collate(batch, **kw):
@@ -61,12 +67,20 @@ def collate(batch, max_instances=100, pack_masks=False, image_transport="float32
             # keep the n largest-area instances, original order preserved
             area = s["bbox"][:, 2] * s["bbox"][:, 3]
             keep = np.sort(np.argsort(-area, kind="stable")[:n])
-            warnings.warn(
-                f"collate: truncated a sample from {k_all} to {n} GT "
-                f"instances (kept the {n} largest by area; "
-                f"{k_all - n} dropped). Raise max_instances in the loader "
-                f"config to keep all (the reference keeps every instance).",
-                RuntimeWarning, stacklevel=2)
+            # logging, not warnings.warn: the default warnings filter emits
+            # once per call site, silencing every drop after the first —
+            # and collate runs inside dataloader worker processes, so a
+            # counter alone would be invisible to the training process.
+            TRUNCATION_STATS["samples"] += 1
+            TRUNCATION_STATS["instances_dropped"] += k_all - n
+            _logger.warning(
+                "collate: truncated a sample from %d to %d GT instances "
+                "(kept the %d largest by area; %d dropped; process totals: "
+                "%d samples / %d instances). Raise max_instances in the "
+                "loader config to keep all (the reference keeps every "
+                "instance).", k_all, n, n, k_all - n,
+                TRUNCATION_STATS["samples"],
+                TRUNCATION_STATS["instances_dropped"])
             bbox[i] = s["bbox"][keep]
             cls[i] = s["cls"][keep]
             valid[i] = True

@@ -140,7 +140,15 @@ class ServingModel:
         if key not in self._fns:
             raise KeyError("no exported program for input shape %s "
                            "(artifact has %s)" % (key, self.input_shapes))
-        return self._fns[key](self.weights, jnp.asarray(image, jnp.uint8))
+        # The exported program was traced on uint8 input; a silent cast here
+        # would truncate float [0,1] images to zeros. Mirror the live
+        # pipeline's strictness: reject anything that isn't already uint8.
+        if np.dtype(getattr(image, "dtype", np.float32)) != np.uint8:
+            raise TypeError(
+                "ServingModel.run_device expects a uint8 HWC image "
+                f"(got dtype={getattr(image, 'dtype', type(image))}); "
+                "pass the raw decoded image, not a normalized float one")
+        return self._fns[key](self.weights, jnp.asarray(image))
 
     def to_host_list(self, device_out):
         out = jax.device_get(device_out)

@@ -14,11 +14,15 @@ Async mode (``async_checkpoint: true`` in the train config): the device->host
 state fetch is the slow part — ~500 MB of params+momentum+BN stats, measured
 ~50 s/epoch through the axon relay (docs/PERFORMANCE.md) — and it needs no
 device compute, so ``CheckpointManager(async_save=True)`` runs the whole
-fetch+serialize in a worker thread while the next epoch trains.  Safe because
-jax Arrays are immutable (the captured pytree is a snapshot by construction)
-and device_get is thread-safe; at most one save is in flight (each save joins
-the previous one, preserving file-write order), and worker exceptions re-raise
-on the next save()/wait().  Default off = reference-parity synchronous saving.
+fetch+serialize in a worker thread while the next epoch trains.  The train
+step donates its state arg (train_state.py donate_argnums=(0,)), so the live
+pytree's buffers are invalidated by the very next step on TPU; ``save()``
+therefore takes a device-side copy (cheap async dispatch, no host sync) on
+the calling thread BEFORE returning, and only the copy crosses into the
+worker.  device_get on the copy is thread-safe; at most one save is in
+flight (each save joins the previous one, preserving file-write order), and
+worker exceptions re-raise on the next save()/wait().  Default off =
+reference-parity synchronous saving.
 """
 
 import os
@@ -100,11 +104,18 @@ class CheckpointManager:
             return
         self.wait()  # one in flight: keeps write order, surfaces errors
 
+        # The caller's train step donates the state buffers, so the live
+        # pytree dies on the next step.  Device-side copy here (async
+        # dispatch, returns immediately); the copy owns fresh buffers that
+        # survive donation.
+        snapshot = jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, state
+        )
+
         def run():
             try:
-                # device->host fetch happens HERE, off the training thread;
-                # the captured device pytree is an immutable snapshot
-                self._save_now(epoch, _to_host(state), save_best, temp)
+                # device->host fetch happens HERE, off the training thread
+                self._save_now(epoch, _to_host(snapshot), save_best, temp)
             except BaseException as e:  # re-raised by the next save()/wait()
                 self._worker_error = e
 

@@ -144,3 +144,40 @@ def test_async_checkpoint_equivalence_and_errors(tmp_path):
     amgr.save(5, state, temp=True)  # manager still works after the error
     amgr.wait()
     assert load_checkpoint(str(tmp_path / "a" / "temp.ckpt"))["epoch"] == 3
+
+
+def test_async_checkpoint_survives_donation(tmp_path, monkeypatch):
+    """Regression: train_step donates its state arg (train_state.py
+    donate_argnums=(0,)), so on TPU the live pytree's buffers die on the
+    next step while the async worker is still fetching.  CPU ignores
+    donation, so we mimic it deterministically: delay the worker's
+    device->host fetch and explicitly .delete() the live buffers right
+    after save() returns — exactly what the next donated step does on TPU.
+    save() must snapshot before returning or the write is lost."""
+    import time
+
+    import jax.numpy as jnp
+
+    from orienmask_tpu.trainer import checkpoint as ckpt_mod
+
+    real_to_host = ckpt_mod._to_host
+
+    def slow_to_host(tree):
+        time.sleep(0.3)  # give the caller time to delete the live buffers
+        return real_to_host(tree)
+
+    monkeypatch.setattr(ckpt_mod, "_to_host", slow_to_host)
+
+    w = jnp.arange(1000, dtype=jnp.float32)
+    state = {"epoch": 1, "params": {"w": w}, "batch_stats": {},
+             "opt_state": {}, "monitor_best": 0.0, "config": {}}
+
+    os.makedirs(tmp_path / "d")
+    mgr = CheckpointManager(str(tmp_path / "d"), save_freq=1, async_save=True)
+    mgr.save(1, state, temp=True)
+    w.delete()  # donation: the buffers save() captured are gone
+    mgr.wait()  # raises 'Array has been deleted' without the snapshot
+
+    loaded = load_checkpoint(str(tmp_path / "d" / "temp.ckpt"))
+    np.testing.assert_array_equal(
+        loaded["params"]["w"], np.arange(1000, dtype=np.float32))

@@ -9,11 +9,13 @@
 # decided by the script's EXIT CODE, never by the progress check alone
 # (an earlier version exited 0 on a crashed script because of exactly that).
 SCRIPT=$1; LOG=$2; WATCH=${3:-150}; TRIES=${4:-4}; TOTAL=${5:-540}
-# SCRIPT may carry arguments ("script.py --flag x"); split on whitespace.
+# SCRIPT may carry arguments ("script.py --flag x"). Run it through sh -c so
+# word-splitting is deliberate and glob metacharacters in args survive —
+# the old unquoted `python $SCRIPT` glob-expanded the whole string.
 progress() { grep -v '^WATCHDOG' "$LOG" | grep -q "\["; }
 for i in $(seq 1 $TRIES); do
   : > "$LOG"
-  timeout -k 10 $TOTAL python $SCRIPT >> "$LOG" 2>&1 &
+  timeout -k 10 $TOTAL sh -c "python $SCRIPT" >> "$LOG" 2>&1 &
   PID=$!
   SECS=0
   KILLED=0
