@@ -22,6 +22,7 @@ each, and a weight refresh (new checkpoint, same architecture) is an npz swap
 that does not touch the programs.
 """
 
+import hashlib
 import json
 import os
 
@@ -31,7 +32,25 @@ import numpy as np
 
 MANIFEST = "manifest.json"
 WEIGHTS = "weights.npz"
-_FORMAT_VERSION = 1
+# format 2 adds arch_fingerprint + per-blob shape/digest (loader still reads
+# format-1 artifacts, minus the integrity checks they never carried)
+_FORMAT_VERSION = 2
+
+
+def _arch_fingerprint(model, treedef, flat):
+    """Architecture identity: model class + weight-tree structure + per-leaf
+    shape/dtype.  A weights.npz from a different variant with a
+    coincidentally equal leaf count hashes differently and is refused at
+    load (the serving analogue of the reference's strict state_dict load,
+    reference infer.py:83)."""
+    h = hashlib.sha256()
+    h.update(type(model).__name__.encode())
+    h.update(str(treedef).encode())
+    for leaf in flat:
+        arr = np.asarray(leaf)
+        h.update(repr(tuple(arr.shape)).encode())
+        h.update(arr.dtype.name.encode())
+    return h.hexdigest()
 
 
 def _program_name(shape):
@@ -60,12 +79,17 @@ def export_pipeline(pipeline, input_shapes, out_dir, platforms=None):
     # npz can't represent ml_dtypes extension dtypes (bfloat16 kernels come
     # back as void '|V2'): store those as same-width integer views and record
     # the true dtype in the manifest.
-    blobs, weight_dtypes = {}, []
+    blobs, weight_dtypes, weight_shapes, weight_digests = {}, [], [], []
     for i, leaf in enumerate(flat):
         arr = np.asarray(leaf)
         weight_dtypes.append(arr.dtype.name)
+        weight_shapes.append(list(arr.shape))
         if arr.dtype.kind == "V":  # extension dtype (bfloat16 etc.)
             arr = arr.view("u%d" % arr.dtype.itemsize)
+        # digest the STORED bytes (post-view) so the loader can verify the
+        # blob before reinterpreting it
+        weight_digests.append(
+            hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest())
         blobs["w%05d" % i] = arr
     np.savez(os.path.join(out_dir, WEIGHTS), **blobs)
 
@@ -94,6 +118,9 @@ def export_pipeline(pipeline, input_shapes, out_dir, platforms=None):
         "platforms": list(exp.platforms),
         "n_weights": len(flat),
         "weight_dtypes": weight_dtypes,
+        "weight_shapes": weight_shapes,
+        "weight_digests": weight_digests,
+        "arch_fingerprint": _arch_fingerprint(pipeline.model, treedef, flat),
         "programs": programs,
         # host-side trim rules (postprocess.to_host_list semantics)
         "pack_masks": bool(post.pack_masks),
@@ -103,6 +130,38 @@ def export_pipeline(pipeline, input_shapes, out_dir, platforms=None):
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=2)
     return manifest
+
+
+def update_weights(out_dir, folded):
+    """Swap in a new checkpoint's folded weights (same architecture) without
+    re-exporting the programs.  Validates every leaf's shape/dtype against
+    the manifest and refreshes the per-blob digests — a raw npz overwrite is
+    rejected at load by design (checksum mismatch)."""
+    with open(os.path.join(out_dir, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    flat, _ = jax.tree_util.tree_flatten(folded)
+    if len(flat) != manifest["n_weights"]:
+        raise ValueError("new weights have %d leaves, artifact expects %d"
+                         % (len(flat), manifest["n_weights"]))
+    blobs, digests = {}, []
+    for i, leaf in enumerate(flat):
+        arr = np.asarray(leaf)
+        if arr.dtype.name != manifest["weight_dtypes"][i]:
+            raise ValueError("leaf %d dtype %s != manifest %s"
+                             % (i, arr.dtype.name, manifest["weight_dtypes"][i]))
+        if list(arr.shape) != manifest["weight_shapes"][i]:
+            raise ValueError("leaf %d shape %s != manifest %s — different "
+                             "model variant" % (i, list(arr.shape),
+                                                manifest["weight_shapes"][i]))
+        if arr.dtype.kind == "V":
+            arr = arr.view("u%d" % arr.dtype.itemsize)
+        digests.append(
+            hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest())
+        blobs["w%05d" % i] = arr
+    np.savez(os.path.join(out_dir, WEIGHTS), **blobs)
+    manifest["weight_digests"] = digests
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=2)
 
 
 class ServingModel:
@@ -118,9 +177,33 @@ class ServingModel:
                              % self.manifest["format_version"])
         blob = np.load(os.path.join(out_dir, WEIGHTS))
         dtypes = self.manifest["weight_dtypes"]
-        self.weights = tuple(
-            jnp.asarray(blob["w%05d" % i].view(np.dtype(dtypes[i])))
-            for i in range(self.manifest["n_weights"]))
+        n = self.manifest["n_weights"]
+        if len(blob.files) != n:
+            raise ValueError(
+                "weights.npz has %d blobs but the manifest expects %d — "
+                "the weight file does not belong to this artifact"
+                % (len(blob.files), n))
+        shapes = self.manifest.get("weight_shapes")
+        digests = self.manifest.get("weight_digests")  # absent in format 1
+        weights = []
+        for i in range(n):
+            arr = blob["w%05d" % i]
+            if digests is not None:
+                got = hashlib.sha256(
+                    np.ascontiguousarray(arr).tobytes()).hexdigest()
+                if got != digests[i]:
+                    raise ValueError(
+                        "weights.npz blob w%05d checksum mismatch (corrupt "
+                        "file or weights from a different export)" % i)
+            arr = arr.view(np.dtype(dtypes[i]))
+            if shapes is not None and list(arr.shape) != shapes[i]:
+                raise ValueError(
+                    "weights.npz blob w%05d has shape %s, manifest expects "
+                    "%s — weights from a different model variant"
+                    % (i, list(arr.shape), shapes[i]))
+            weights.append(jnp.asarray(arr))
+        self.weights = tuple(weights)
+        self.arch_fingerprint = self.manifest.get("arch_fingerprint")
         self._dir = out_dir
         self._fns = {}
         for name, meta in self.manifest["programs"].items():

@@ -78,18 +78,19 @@ def test_unknown_shape_raises(tiny_pipeline, tmp_path):
 
 
 def test_weight_swap_without_reexport(tiny_pipeline, tmp_path):
-    """A new checkpoint (same architecture) is an npz swap — programs untouched."""
-    from orienmask_tpu.serving import export_pipeline, load_serving, WEIGHTS
+    """A new checkpoint (same architecture) swaps in via update_weights —
+    programs untouched, digests refreshed."""
+    from orienmask_tpu.serving import (export_pipeline, load_serving,
+                                       update_weights)
 
     shape = (1, 96, 96, 3)
     export_pipeline(tiny_pipeline, [shape], tmp_path)
 
-    flat, _ = jax.tree_util.tree_flatten(tiny_pipeline.folded)
+    flat, treedef = jax.tree_util.tree_flatten(tiny_pipeline.folded)
     rng = np.random.default_rng(3)
     bumped = [np.asarray(w) + rng.normal(0, 0.01, w.shape).astype(w.dtype)
               for w in flat]
-    np.savez(tmp_path / WEIGHTS,
-             **{"w%05d" % i: w for i, w in enumerate(bumped)})
+    update_weights(tmp_path, jax.tree_util.tree_unflatten(treedef, bumped))
 
     served = load_serving(tmp_path)
     img = rng.integers(0, 255, shape, np.uint8)
@@ -99,3 +100,48 @@ def test_weight_swap_without_reexport(tiny_pipeline, tmp_path):
     # original pipeline's on the same image
     want = jax.device_get(tiny_pipeline.run_device(img))
     assert not np.array_equal(np.asarray(want["bbox"]), out["bbox"])
+
+    # a variant with a different leaf SHAPE is refused by update_weights
+    wrong = list(bumped)
+    wrong[0] = np.zeros(np.asarray(wrong[0]).shape[:-1] + (7,),
+                        np.asarray(wrong[0]).dtype)
+    with pytest.raises(ValueError, match="different[ \n]+model variant"):
+        update_weights(tmp_path, jax.tree_util.tree_unflatten(treedef, wrong))
+
+
+def test_artifact_integrity_checks(tiny_pipeline, tmp_path):
+    """Manifest hardening (VERDICT r3 task 7): a raw weights.npz overwrite
+    (no digest refresh), a truncated blob set, and a wrong input dtype all
+    fail loudly instead of loading/casting silently."""
+    from orienmask_tpu.serving import export_pipeline, load_serving, WEIGHTS
+
+    shape = (1, 96, 96, 3)
+    manifest = export_pipeline(tiny_pipeline, [shape], tmp_path)
+    assert manifest["format_version"] >= 2
+    assert len(manifest["weight_digests"]) == manifest["n_weights"]
+    assert len(manifest["arch_fingerprint"]) == 64
+
+    blob = dict(np.load(tmp_path / WEIGHTS))
+
+    # (1) tampered bytes in one blob -> checksum mismatch
+    tampered = dict(blob)
+    k0 = "w%05d" % 0
+    t = tampered[k0].copy()
+    t.flat[0] += 1
+    tampered[k0] = t
+    np.savez(tmp_path / WEIGHTS, **tampered)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        load_serving(tmp_path)
+
+    # (2) wrong blob count -> refused before any deserialization
+    np.savez(tmp_path / WEIGHTS, **{k0: blob[k0]})
+    with pytest.raises(ValueError, match="does not belong"):
+        load_serving(tmp_path)
+
+    # restore and confirm it loads again
+    np.savez(tmp_path / WEIGHTS, **blob)
+    served = load_serving(tmp_path)
+
+    # (3) non-uint8 input refused (a silent cast truncated [0,1] floats to 0)
+    with pytest.raises(TypeError, match="uint8"):
+        served.run_device(np.zeros(shape, np.float32))

@@ -54,6 +54,16 @@ ap.add_argument("--scenes", choices=["simple", "cocostats"], default="simple",
                 "dense scenes at the cap, touching instance pairs, crowd "
                 "regions (eval-only, iscrowd=1), 80 color-coded classes "
                 "(VERDICT r2 task 3)")
+ap.add_argument("--val-images", type=int, default=0,
+                help="emit a DISJOINT held-out val split of N scenes from the "
+                "same generator (fresh RNG stream, --val-seed) and point the "
+                "config's val_loader/val_gt_file at it — the reference's "
+                "train2017->val2017 protocol in miniature (reference "
+                "config/base.py:115-131). 0 = legacy behavior: validate on "
+                "the training set (measures fit, not generalization; "
+                "VERDICT r3 weak item 1)")
+ap.add_argument("--val-seed", type=int, default=1,
+                help="RNG seed for the held-out split (train split uses 0)")
 args = ap.parse_args()
 
 root = args.root
@@ -73,10 +83,6 @@ else:
     # deterministic class->color table so classification is learnable when
     # --classes is small (same idea as tools/synthetic_ap.py scenes)
     palette = rng.integers(90, 255, (args.classes, 3))
-annos, names = {}, []
-gt_coco = {"images": [], "annotations": [], "categories": [
-    {"id": cid, "name": f"c{cid}"} for cid in range(1, 81)]}
-aid = 1
 
 
 def _sample_shape(rng, w, h, cx, cy, bw, bh):
@@ -190,40 +196,62 @@ def _cocostats_scene(rng, i, w, h, aid):
     return img, bboxes, clses, masks, gts + crowd_entries, aid
 
 
-for i in range(args.n_images):
-    h = w = args.size
-    if args.scenes == "cocostats":
-        img, bboxes, clses, masks, gts, aid = _cocostats_scene(rng, i, w, h, aid)
-        gt_coco["annotations"].extend(gts)
-    else:
-        img = rng.integers(0, 80, (h, w, 3), np.uint8)
-        n = int(rng.integers(1, 4))
-        bboxes, clses, masks = [], [], []
-        for _ in range(n):
-            bw, bh = rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5)
-            cx, cy = rng.uniform(bw/2, 1-bw/2), rng.uniform(bh/2, 1-bh/2)
-            cls = int(rng.integers(0, args.classes))
-            x1, y1 = int((cx-bw/2)*w), int((cy-bh/2)*h)
-            x2, y2 = int((cx+bw/2)*w), int((cy+bh/2)*h)
-            color = tuple(int(c) for c in palette[cls])
-            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
-            m = np.zeros((h, w), np.uint8); m[y1:y2, x1:x2] = 1
-            bboxes.append([cx, cy, bw, bh]); clses.append(cls)
-            masks.append(rle.encode(m))
-            gt_coco["annotations"].append({
-                "id": aid, "image_id": i, "category_id": cls + 1,
-                "bbox": [x1, y1, x2-x1, y2-y1], "area": float((x2-x1)*(y2-y1)),
-                "iscrowd": 0, "segmentation": rle.encode(m)})
-            aid += 1
-    name = f"img{i:03d}.jpg"
-    cv2.imwrite(os.path.join(img_dir, name), img,
-                [cv2.IMWRITE_JPEG_QUALITY, 98])
-    annos[name] = {"anno": {"bbox": bboxes, "cls": clses, "mask": masks}, "image_id": i}
-    names.append(name)
-    gt_coco["images"].append({"id": i, "file_name": name, "height": h, "width": w})
+def make_split(n_images, rng, split_img_dir, id_base=0, name_prefix="img"):
+    """Generate one split: images on disk + (annos, names, gt_coco)."""
+    annos, names = {}, []
+    gt_coco = {"images": [], "annotations": [], "categories": [
+        {"id": cid, "name": f"c{cid}"} for cid in range(1, 81)]}
+    aid = 1
+    for k in range(n_images):
+        i = id_base + k  # image_id unique across splits
+        h = w = args.size
+        if args.scenes == "cocostats":
+            img, bboxes, clses, masks, gts, aid = _cocostats_scene(rng, i, w, h, aid)
+            gt_coco["annotations"].extend(gts)
+        else:
+            img = rng.integers(0, 80, (h, w, 3), np.uint8)
+            n = int(rng.integers(1, 4))
+            bboxes, clses, masks = [], [], []
+            for _ in range(n):
+                bw, bh = rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5)
+                cx, cy = rng.uniform(bw/2, 1-bw/2), rng.uniform(bh/2, 1-bh/2)
+                cls = int(rng.integers(0, args.classes))
+                x1, y1 = int((cx-bw/2)*w), int((cy-bh/2)*h)
+                x2, y2 = int((cx+bw/2)*w), int((cy+bh/2)*h)
+                color = tuple(int(c) for c in palette[cls])
+                cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+                m = np.zeros((h, w), np.uint8); m[y1:y2, x1:x2] = 1
+                bboxes.append([cx, cy, bw, bh]); clses.append(cls)
+                masks.append(rle.encode(m))
+                gt_coco["annotations"].append({
+                    "id": aid, "image_id": i, "category_id": cls + 1,
+                    "bbox": [x1, y1, x2-x1, y2-y1], "area": float((x2-x1)*(y2-y1)),
+                    "iscrowd": 0, "segmentation": rle.encode(m)})
+                aid += 1
+        name = f"{name_prefix}{i:03d}.jpg"
+        cv2.imwrite(os.path.join(split_img_dir, name), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 98])
+        annos[name] = {"anno": {"bbox": bboxes, "cls": clses, "mask": masks},
+                       "image_id": i}
+        names.append(name)
+        gt_coco["images"].append({"id": i, "file_name": name, "height": h, "width": w})
+    return annos, names, gt_coco
+
+
+annos, names, gt_coco = make_split(args.n_images, rng, img_dir)
 json.dump(annos, open(os.path.join(root, "annos.json"), "w"))
 open(os.path.join(root, "list.txt"), "w").write("\n".join(names))
 json.dump(gt_coco, open(os.path.join(root, "gt.json"), "w"))
+
+if args.val_images > 0:
+    # held-out split: fresh RNG stream, id range disjoint from train
+    val_rng = np.random.default_rng(args.val_seed)
+    v_annos, v_names, v_gt = make_split(
+        args.val_images, val_rng, img_dir,
+        id_base=100000, name_prefix="val")
+    json.dump(v_annos, open(os.path.join(root, "annos_val.json"), "w"))
+    open(os.path.join(root, "list_val.txt"), "w").write("\n".join(v_names))
+    json.dump(v_gt, open(os.path.join(root, "gt_val.json"), "w"))
 
 size = args.size
 ds = dict(type="COCODataset", list_file=f"{root}/list.txt",
@@ -239,6 +267,15 @@ loader = dict(dataset=ds, transform=transform, batch_size=args.batch_size,
               num_workers=args.num_workers, shuffle=True, drop_last=False,
               max_instances=args.max_instances,
               pack_masks=True, image_transport="uint8")
+if args.val_images > 0:
+    val_ds = dict(ds, list_file=f"{root}/list_val.txt",
+                  anno_file=f"{root}/annos_val.json")
+    val_loader = dict(loader, dataset=val_ds, shuffle=False)
+    val_gt_file = f"{root}/gt_val.json"
+else:
+    # legacy: validate on the training set (fit, not generalization)
+    val_loader = dict(loader, shuffle=False)
+    val_gt_file = f"{root}/gt.json"
 anchors = [[12,16],[19,36],[40,28],[36,75],[76,55],[72,146],[142,110],[192,243],[459,401]]
 anchors = [[a[0]*size/544, a[1]*size/544] for a in anchors]
 mask3 = [[6,7,8],[3,4,5],[0,1,2]]
@@ -251,7 +288,7 @@ cfg = dict(
     model=dict(type=args.model, num_anchors=3, num_classes=80,
                pretrained=None),
     train_loader=loader,
-    val_loader=dict(loader, shuffle=False, image_transport="uint8"),
+    val_loader=val_loader,
     loss=dict(type="OrienMaskYOLOMultiScaleLoss", grid_size=grids,
               image_size=[size, size], anchors=anchors, anchor_mask=mask3,
               num_classes=80, center_region=0.6, valid_region=0.6,
@@ -266,7 +303,7 @@ cfg = dict(
     lr_scheduler=dict(type="StepWarmUpLR", warmup_type="linear",
                       warmup_iter=args.warmup_iter, warmup_ratio=0.1,
                       milestones=[100000], gamma=0.1),
-    val_gt_file=f"{root}/gt.json",
+    val_gt_file=val_gt_file,
     log_dir=f"{root}/runs",
 )
 json.dump(cfg, open(f"{root}/config.json", "w"))
