@@ -204,10 +204,13 @@ class DarkNet53(Module):
     STAGE_BLOCKS = (1, 2, 8, 8, 4)
     STAGE_CHANNELS = (32, 64, 128, 256, 512)
 
-    def __init__(self, freeze_backbone=False, batchnorm_eval=False, s2d_stem=True):
+    def __init__(self, freeze_backbone=False, batchnorm_eval=False, s2d_stem=True,
+                 stage_blocks=None):
         self.freeze_backbone = int(freeze_backbone or 0)
         self.batchnorm_eval = batchnorm_eval
         self.s2d_stem = bool(s2d_stem)
+        if stage_blocks is not None:  # depth variant (e.g. slim CI configs)
+            self.STAGE_BLOCKS = tuple(int(n) for n in stage_blocks)
         self.conv1 = ConvBNLeaky(3, 32, 3, padding=1)
         for i, (c, n) in enumerate(zip(self.STAGE_CHANNELS, self.STAGE_BLOCKS), start=2):
             setattr(self, f"conv{i}", self._build_stage(c, n))

@@ -50,11 +50,15 @@ class _BaseOrienMask(Module):
     """Shared init/apply plumbing for the two OrienMask variants."""
 
     def __init__(self, num_anchors, num_classes, pretrained=None,
-                 freeze_backbone=False, backbone_batchnorm_eval=False):
+                 freeze_backbone=False, backbone_batchnorm_eval=False,
+                 backbone_stage_blocks=None):
         self.num_anchors = num_anchors
         self.num_classes = num_classes
         self.pretrained = pretrained
-        self.backbone = DarkNet53(freeze_backbone, backbone_batchnorm_eval)
+        # backbone_stage_blocks: optional depth variant (e.g. (1,1,1,1,1) for
+        # slim CI/e2e configs); default = full DarkNet53 (1,2,8,8,4)
+        self.backbone = DarkNet53(freeze_backbone, backbone_batchnorm_eval,
+                                  stage_blocks=backbone_stage_blocks)
         self._build_heads()
 
     def _build_heads(self):

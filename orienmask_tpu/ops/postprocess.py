@@ -36,7 +36,7 @@ class OrienMaskYOLOPostProcess:
     def __init__(self, grid_size, image_size, anchors, anchor_mask, num_classes,
                  conf_thresh=0.05, nms=None, nms_pre=400, nms_post=100,
                  orien_thresh=0.3, topk_mode="twostage", pack_masks=False,
-                 use_pallas_masks="auto"):
+                 use_pallas_masks="auto", topk_nsplit=None):
         self.grid_hw = [tuple(g) for g in grid_size]
         self.image_h, self.image_w = _pair(image_size)
         self.anchor_mask = [list(m) for m in anchor_mask]
@@ -49,6 +49,14 @@ class OrienMaskYOLOPostProcess:
         self.nms_post = int(nms_post)
         self.orien_thresh = float(orien_thresh)
         self.topk_mode = topk_mode
+        # split factor for the big candidate top-k (exact, see _topk_split);
+        # tunable because the optimum depends on head size P vs nms_pre —
+        # ORIENMASK_TOPK_NSPLIT overrides for on-chip sweeps
+        import os as _os
+
+        if topk_nsplit is None:
+            topk_nsplit = int(_os.environ.get("ORIENMASK_TOPK_NSPLIT", "2"))
+        self.topk_nsplit = int(topk_nsplit)
         self.pack_masks = pack_masks
         if use_pallas_masks == "auto":
             # TPU-only kernel (pltpu grid specs): gate on the platform like the
@@ -191,7 +199,8 @@ class OrienMaskYOLOPostProcess:
             # size cliff (one top_k 0.84 ms vs split2 0.48 ms standalone,
             # tools/bench_sel_stem.py) — bit-identical by the _topk_split
             # tie-break argument.
-            _, top_det = self._topk_split(det_max, self.nms_pre)
+            _, top_det = self._topk_split(det_max, self.nms_pre,
+                                          nsplit=self.topk_nsplit)
             sub_rows = flat[top_det]  # (nms_pre, 5+C)
             sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
                 * jax.nn.sigmoid(sub_rows[:, 4:5])

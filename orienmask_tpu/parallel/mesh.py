@@ -18,7 +18,22 @@ DATA_AXIS = "data"
 def init_distributed(coordinator=None, num_processes=None, process_id=None):
     """Multi-host init (no-op for single-host)."""
     if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator, num_processes, process_id)
+        # Long shutdown grace: rank 0 finishes an epoch with COCO scoring +
+        # checkpoint serialization after the other ranks' last collective;
+        # on loaded hosts that tail can exceed the 300s default and the
+        # coordination service then kills the whole job at the Shutdown
+        # barrier.
+        jax.distributed.initialize(coordinator, num_processes, process_id,
+                                   shutdown_timeout_seconds=1800)
+        # Rendezvous NOW, while every process is still at the same (cheap)
+        # point.  The first cross-process collective creates the backend's
+        # communicator context under a short internal timeout (Gloo on CPU:
+        # 30s KV-store wait); model/dataset build before the trainer's first
+        # real collective can skew processes past it on loaded hosts.  The
+        # context created here is reused by every later collective.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("orienmask:init")
 
 
 def data_mesh(n_devices=None, devices=None):

@@ -12,6 +12,8 @@ import logging
 import math
 import os
 
+import jax
+
 from ..utils.envs import get_device_rank, get_world_size
 from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
 
@@ -131,6 +133,14 @@ class BaseTrainer:
                 # epochs, and a coarser cadence only widens the resume window.
                 self.ckpt_manager.save(epoch, self._checkpoint_state(epoch), temp=True)
         self.ckpt_manager.wait()  # drain any in-flight async save
+        if jax.process_count() > 1:
+            # Leave train() together: rank 0 trails the others by a full
+            # COCO-scoring + checkpoint tail each epoch, and an early exit
+            # by any rank turns that skew into a coordination-service
+            # shutdown-barrier kill of the whole job.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("orienmask:train_end")
 
     def _train_epoch(self, epoch):
         raise NotImplementedError

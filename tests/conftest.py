@@ -33,3 +33,20 @@ jax.config.update("jax_platforms", "cpu")
 from orienmask_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute rehearsal; skipped unless ORIENMASK_RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if os.environ.get("ORIENMASK_RUN_SLOW"):
+        return
+    skip = _pytest.mark.skip(reason="slow rehearsal (set ORIENMASK_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -117,7 +117,8 @@ def main():
                 {"params": params, "batch_stats": stats}, x, train=True,
                 dtype=jnp.bfloat16)
             del new_stats
-            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in leaves)
 
         grad = jax.grad(loss_fn)
         b = 8

@@ -20,6 +20,14 @@ if __name__ == "__main__":
     parser.add_argument("--process-id", default=None, type=int)
     args = parser.parse_args()
 
+    # Persistent compile cache: repeat runs (resume, re-launch after a
+    # failure, CI rehearsals) skip the multi-minute XLA compile.
+    import os
+
+    from orienmask_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
+
     # Distributed init FIRST: jax.distributed.initialize must run before
     # anything touches the backend (the resume path below deserializes a
     # checkpoint, which can).
