@@ -61,6 +61,10 @@ def main():
                        cv2.COLOR_BGR2RGB)
     one = np.ascontiguousarray(img, np.uint8)[None]
 
+    if os.environ.get("ORIENMASK_BENCH_INT8"):
+        pipe.quantize_int8(one)
+        tick("int8 quantized")
+
     for b in batches:
         image = jnp.asarray(np.repeat(one, b, axis=0))
         out = None
