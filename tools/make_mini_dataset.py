@@ -321,4 +321,18 @@ cfg = dict(
     log_dir=f"{root}/runs",
 )
 json.dump(cfg, open(f"{root}/config.json", "w"))
+
+# test.py / tools/validate_int8.py configs: one per split, so train-set AP
+# and held-out AP can be scored on the SAME checkpoint side by side
+# (reference test config schema, config/config_test.py).
+for split_tag, split_loader, split_gt in (
+        [("train", dict(loader, shuffle=False, batch_size=8), f"{root}/gt.json")]
+        + ([("val", dict(val_loader, batch_size=8), val_gt_file)]
+           if args.val_images > 0 else [])):
+    tcfg = dict(
+        n_device=1, tester="Tester", compute_dtype="bfloat16",
+        model=cfg["model"], test_loader=split_loader,
+        postprocess=cfg["postprocess"], gt_file=split_gt,
+    )
+    json.dump(tcfg, open(f"{root}/test_config_{split_tag}.json", "w"))
 print("dataset + config at", root)

@@ -42,10 +42,15 @@ from jax.extend import core as jex_core
 # standalone fwd minus ~0.3 ms separate-dispatch overhead; tail = fused-frame
 # minus in-program fwd.
 MEASURED = {
-    544: {"fwd_ms": 1.55, "tail_ms": 0.85},    # 2.38 ms fused frame
-    736: {"fwd_ms": 2.81, "tail_ms": 1.51},    # 4.31 ms fused (fwd 3.11 standalone)
-    1088: {"fwd_ms": 6.50, "tail_ms": 1.89},   # 8.39 ms fused (fwd 6.80 standalone)
+    # tail = detect_ms (replicated: top-k + decode + NMS fixpoint, sequential
+    # dependence) + mask_ms (row-shardable: x4 upsample + rasterization,
+    # parallel/spatial.run_batch_spatial). In-program splits from
+    # tools/bench_breakdown.py (PERFORMANCE.md).
+    544: {"fwd_ms": 1.55, "detect_ms": 0.63, "mask_ms": 0.22},   # 2.40 fused
+    736: {"fwd_ms": 2.81, "detect_ms": 0.95, "mask_ms": 0.55},   # 4.31 fused
+    1088: {"fwd_ms": 6.50, "detect_ms": 1.20, "mask_ms": 0.70},  # 8.40 fused
 }
+NMS_POST = 100  # kept detections per image (packed-mask gather term)
 ICI_GBPS = 45.0      # v5e per-link one-direction (scaling book)
 HOP_US = 1.0         # per-exchange latency
 
@@ -84,7 +89,15 @@ def conv_specs(model, variables, size, dtype=jnp.bfloat16):
     return out
 
 
-def project(specs, size, spaces, fwd_ms=None, tail_ms=None, bytes_per=2):
+def project(specs, size, spaces, fwd_ms=None, detect_ms=None, mask_ms=None,
+            bytes_per=2, shard_tail=False):
+    """``shard_tail=False``: head outputs gather to replicated, the whole
+    detect+mask tail runs replicated (spatial_forward default).
+    ``shard_tail=True``: the mask stage (x4 upsample + rasterization) is
+    row-sharded via parallel/spatial.run_batch_spatial — mask_ms/S per
+    device, plus a packed-mask gather ((S-1)/S of K*H*W/8 uint8) when the
+    consumer wants replicated output; detect stays replicated (its operands
+    are the tiny grids and the NMS fixpoint is sequential)."""
     conv_flops = sum(
         2 * c["n"] * c["hout"] * c["wout"] * c["cout"]
         * c["kh"] * c["kw"] * (c["cin"] // c["groups"]) for c in specs)
@@ -93,6 +106,7 @@ def project(specs, size, spaces, fwd_ms=None, tail_ms=None, bytes_per=2):
     if fwd_ms is None:
         raise SystemExit(f"no measured anchor for {size}; run "
                          f"tools/bench_breakdown.py --size {size} first")
+    tail_ms = detect_ms + mask_ms
     eff_tflops = conv_flops / (fwd_ms * 1e-3) / 1e12
     for S in spaces:
         if S == 1:
@@ -107,11 +121,21 @@ def project(specs, size, spaces, fwd_ms=None, tail_ms=None, bytes_per=2):
             halo_bytes += 2 * per_side * c["win"] * c["cin"] * bytes_per
         halo_ms = halo_bytes / (ICI_GBPS * 1e9) * 1e3 \
             + len(halo_layers) * HOP_US * 1e-3
-        # output gather to replicated: heads are small; stride-4 orientation
-        # map dominates = 2 * (S-1)/S of (size/4)^2 * 6 ch * 4B (f32 out)
+        # stride-4 orientation map to every device (heads are tiny next to
+        # it): 2 * (S-1)/S of (size/4)^2 * 6 ch * 4B — an all-gather when the
+        # tail is replicated, the same broadcast when it is row-sharded
+        # (shard_map replicated-in of the stride-4 maps).
         gather_ms = ((size // 4) ** 2 * 6 * 4 * (S - 1) / S * 2
                      / (ICI_GBPS * 1e9) * 1e3)
-        total = comp + halo_ms + gather_ms + tail_ms
+        if shard_tail:
+            # packed kept-mask gather to replicated (skip entirely if the
+            # consumer fetches shards host-side or keeps them device-resident)
+            mask_gather = (NMS_POST * size * (size // 8) * (S - 1) / S
+                           / (ICI_GBPS * 1e9) * 1e3)
+            tail = detect_ms + mask_ms / S + mask_gather
+        else:
+            tail = tail_ms
+        total = comp + halo_ms + gather_ms + tail
         base = fwd_ms + tail_ms
         rows.append((S, comp, halo_bytes / 1e6, halo_ms, gather_ms, total,
                      base / total, base / total / S))
@@ -146,12 +170,13 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="+", default=[544, 736, 1088])
     ap.add_argument("--spaces", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--anchor", type=str, default=None,
-                    help="size:fwd_ms:tail_ms extra measured anchor, e.g. "
-                    "1088:9.0:2.5")
+                    help="size:fwd_ms:detect_ms:mask_ms extra measured "
+                    "anchor, e.g. 1088:6.5:1.2:0.7")
     args = ap.parse_args()
     if args.anchor:
-        s, f, t = args.anchor.split(":")
-        MEASURED[int(s)] = {"fwd_ms": float(f), "tail_ms": float(t)}
+        s, f, d, t = args.anchor.split(":")
+        MEASURED[int(s)] = {"fwd_ms": float(f), "detect_ms": float(d),
+                            "mask_ms": float(t)}
 
     from orienmask_tpu.models import OrienMaskYOLOFPNPlus
     from orienmask_tpu.config import (
@@ -166,20 +191,26 @@ def main():
     for size in args.sizes:
         if size not in MEASURED:
             print(f"[{size}] no measured anchor — pass --anchor "
-                  f"{size}:<fwd_ms>:<tail_ms> (from tools/bench_breakdown.py)")
+                  f"{size}:<fwd_ms>:<detect_ms>:<mask_ms> (from "
+                  f"tools/bench_breakdown.py)")
             continue
         specs = conv_specs(model, variables, size)
         m = MEASURED[size]
-        flops, eff, nhalo, rows = project(
-            specs, size, args.spaces, m["fwd_ms"], m["tail_ms"])
-        print(f"\n[{size}x{size}] convs={len(specs)} (halo layers={nhalo}) "
-              f"conv GFLOP={flops/1e9:.1f} measured fwd={m['fwd_ms']}ms "
-              f"tail={m['tail_ms']}ms eff={eff:.0f} TF/s bf16")
-        print(f"{'S':>2} {'conv ms':>8} {'halo MB':>8} {'halo ms':>8} "
-              f"{'gather ms':>9} {'frame ms':>9} {'speedup':>8} {'eff':>5}")
-        for r in rows:
-            print(f"{r[0]:>2} {r[1]:>8.2f} {r[2]:>8.2f} {r[3]:>8.3f} "
-                  f"{r[4]:>9.3f} {r[5]:>9.2f} {r[6]:>8.2f} {r[7]:>5.2f}")
+        for shard_tail in (False, True):
+            flops, eff, nhalo, rows = project(
+                specs, size, args.spaces, m["fwd_ms"], m["detect_ms"],
+                m["mask_ms"], shard_tail=shard_tail)
+            label = ("tail row-sharded (run_batch_spatial)" if shard_tail
+                     else "tail replicated")
+            print(f"\n[{size}x{size}, {label}] convs={len(specs)} "
+                  f"(halo layers={nhalo}) conv GFLOP={flops/1e9:.1f} "
+                  f"measured fwd={m['fwd_ms']}ms detect={m['detect_ms']}ms "
+                  f"masks={m['mask_ms']}ms eff={eff:.0f} TF/s bf16")
+            print(f"{'S':>2} {'conv ms':>8} {'halo MB':>8} {'halo ms':>8} "
+                  f"{'gather ms':>9} {'frame ms':>9} {'speedup':>8} {'eff':>5}")
+            for r in rows:
+                print(f"{r[0]:>2} {r[1]:>8.2f} {r[2]:>8.2f} {r[3]:>8.3f} "
+                      f"{r[4]:>9.3f} {r[5]:>9.2f} {r[6]:>8.2f} {r[7]:>5.2f}")
 
     import numpy as _np
     n_params = sum(int(_np.prod(l.shape)) for l in
