@@ -48,12 +48,16 @@ class OrienMaskYOLOPostProcess:
         self.nms_pre = int(nms_pre)
         self.nms_post = int(nms_post)
         self.orien_thresh = float(orien_thresh)
-        self.topk_mode = topk_mode
+        # ORIENMASK_TOPK_MODE overrides the configured candidate-selection
+        # formulation ("twostage" native-layout vs "exact" flat-buffer — both
+        # bit-identical outputs, tests/test_postprocess.py) for on-chip A/Bs
+        # without editing configs
+        import os as _os
+
+        self.topk_mode = _os.environ.get("ORIENMASK_TOPK_MODE", topk_mode)
         # split factor for the big candidate top-k (exact, see _topk_split);
         # tunable because the optimum depends on head size P vs nms_pre —
         # ORIENMASK_TOPK_NSPLIT overrides for on-chip sweeps
-        import os as _os
-
         if topk_nsplit is None:
             topk_nsplit = int(_os.environ.get("ORIENMASK_TOPK_NSPLIT", "2"))
         self.topk_nsplit = int(topk_nsplit)
@@ -175,6 +179,49 @@ class OrienMaskYOLOPostProcess:
         v2, j = jax.lax.top_k(jnp.concatenate(vs), k)
         return v2, jnp.concatenate(is_)[j]
 
+    def _flat_scores(self, pred_bboxes):
+        """Per-detection max score vector in flat order WITHOUT materializing
+        the (P, 5+C) buffer: the cls-max + sigmoid run in each scale's native
+        (H, W, A, 5+C) layout (fusable with the head conv's output), and only
+        the tiny (P,) score vector is transposed into scale-major anchor-major
+        order.  Bit-identical to ``_select_candidates``'s per-det max on the
+        flat buffer: same elements, same ops, same flatten order."""
+        c = self.num_classes
+        scores = []
+        for i, bbox in enumerate(pred_bboxes):
+            nh, nw = self.grid_hw[i]
+            na = len(self.anchor_mask[i])
+            x = bbox.reshape(nh, nw, na, 5 + c)
+            s = jax.nn.sigmoid(jnp.max(x[..., 5:], axis=-1)) \
+                * jax.nn.sigmoid(x[..., 4])
+            scores.append(s.transpose(2, 0, 1).reshape(-1))
+        return jnp.concatenate(scores)
+
+    def _gather_rows(self, pred_bboxes, det_idx):
+        """Gather ``det_idx`` (flat scale-major anchor-major indices) head rows
+        directly from the per-scale native-layout tensors — the index
+        arithmetic (a, y, x) -> native (y, x, a) replaces the big transposed
+        buffer ``_flat_head`` materializes ((B, P, 5+C) f32: 6.2 MB/image at
+        544², ~100 MB at batch-16 — the round-3 batch-16 regression suspect).
+        Returns (n, 5+C) rows, bit-identical to ``flat[det_idx]``."""
+        c = self.num_classes
+        out = None
+        off = 0
+        for i, bbox in enumerate(pred_bboxes):
+            nh, nw = self.grid_hw[i]
+            na = len(self.anchor_mask[i])
+            size = na * nh * nw
+            local = det_idx - off
+            inside = (local >= 0) & (local < size)
+            lc = jnp.clip(local, 0, size - 1)
+            a = lc // (nh * nw)
+            cell = lc % (nh * nw)
+            native = bbox.reshape(nh * nw * na, 5 + c)
+            rows = native[cell * na + a]
+            out = rows if out is None else jnp.where(inside[:, None], rows, out)
+            off += size
+        return out
+
     def _select_candidates(self, flat):
         """Top ``nms_pre`` above-threshold (det, class) pairs from the (P, 5+C)
         raw head buffer. Score = sigmoid(cls) * sigmoid(obj)."""
@@ -233,11 +280,38 @@ class OrienMaskYOLOPostProcess:
 
     def _detect_image(self, pred_bboxes):
         """Candidate selection + per-candidate decode + NMS for one image
-        (no masks). Selection reads the raw head buffer once; box decode runs
-        only on the nms_pre selected rows."""
-        flat = self._flat_head(pred_bboxes)
-        det_idx, cls_idx, scores, valid = self._select_candidates(flat)
-        cand_boxes = self._decode_rows(flat[det_idx], det_idx)
+        (no masks). Box decode runs only on the nms_pre selected rows.
+
+        The default (twostage) path never materializes the transposed
+        (P, 5+C) buffer ``_flat_head`` builds: per-det max scores are reduced
+        in each scale's native (H, W, A, 5+C) layout (``_flat_scores`` —
+        fusable with the head convs' output), and only the nms_pre selected
+        rows are gathered, with native-layout index arithmetic
+        (``_gather_rows``).  At batch 16 / 544² the transposed buffer was
+        ~100 MB of HBM writes+reads per step — the round-3 batch-16 > batch-8
+        regression suspect.  Bit-identical outputs: same elements, same ops,
+        same flatten order for tie-breaking (asserted against the flat-buffer
+        path in tests/test_postprocess.py)."""
+        c = self.num_classes
+        if self.topk_mode != "twostage":
+            flat = self._flat_head(pred_bboxes)
+            det_idx, cls_idx, scores, valid = self._select_candidates(flat)
+            cand_rows = flat[det_idx]
+        else:
+            det_max = self._flat_scores(pred_bboxes)
+            det_max = jnp.where(det_max > self.conf_thresh, det_max, -1.0)
+            _, top_det = self._topk_split(det_max, self.nms_pre,
+                                          nsplit=self.topk_nsplit)
+            sub_rows = self._gather_rows(pred_bboxes, top_det)
+            sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
+                * jax.nn.sigmoid(sub_rows[:, 4:5])
+            sub = jnp.where(sub > self.conf_thresh, sub, -1.0)
+            scores, idx = self._topk_split(sub.reshape(-1), self.nms_pre)
+            det_idx = top_det[idx // c]
+            cls_idx = idx % c
+            valid = scores > self.conf_thresh
+            cand_rows = sub_rows[idx // c]
+        cand_boxes = self._decode_rows(cand_rows, det_idx)
         cand_anchor = jnp.asarray(self.det_anchor_idx)[det_idx]
         nms_scores = jnp.where(valid, scores, NEG_INF)
         keep_idx, keep_valid = batched_class_nms(

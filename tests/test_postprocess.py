@@ -155,3 +155,43 @@ def test_topk_split_bitexact_with_ties():
             np.testing.assert_array_equal(
                 np.asarray(ref_i), np.asarray(i),
                 err_msg=f"n={n} k={k} nsplit={nsplit} tie={tie}")
+
+
+def test_native_gather_detect_bitexact_vs_flat_buffer():
+    """The twostage ``_detect_image`` path (native-layout score reduction +
+    ``_gather_rows``, no transposed (P, 5+C) buffer) must be BIT-identical to
+    the flat-buffer formulation (``_flat_head`` + ``_select_candidates`` +
+    ``flat[det_idx]`` decode) — same elements, same op order, same flatten
+    order for tie-breaks."""
+    import jax
+
+    pp = _make_pp("twostage")
+    for seed in (0, 1, 7):
+        preds = _random_predictions(seed)
+        pred_bboxes = [jnp.asarray(b) for b, _ in preds]
+
+        got = jax.jit(pp._detect_image)(pred_bboxes)
+
+        def flat_path(pbs):
+            flat = pp._flat_head(pbs)
+            det_idx, cls_idx, scores, valid = pp._select_candidates(flat)
+            from orienmask_tpu.ops.nms import NEG_INF, batched_class_nms
+            cand_boxes = pp._decode_rows(flat[det_idx], det_idx)
+            cand_anchor = jnp.asarray(pp.det_anchor_idx)[det_idx]
+            nms_scores = jnp.where(valid, scores, NEG_INF)
+            keep_idx, keep_valid = batched_class_nms(
+                cand_boxes, nms_scores, cls_idx, pp.nms_post, pp.nms_threshold)
+            boxes = cand_boxes[keep_idx]
+            out_scores = jnp.where(keep_valid, scores[keep_idx], 0.0)
+            return {
+                "bbox": jnp.concatenate([boxes, out_scores[:, None]], axis=1),
+                "cls": cls_idx[keep_idx].astype(jnp.int32),
+                "anchor": cand_anchor[keep_idx],
+                "valid": keep_valid,
+            }
+
+        ref = jax.jit(flat_path)(pred_bboxes)
+        for key in ("bbox", "cls", "anchor", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(ref[key]),
+                err_msg=f"seed={seed} key={key}")
