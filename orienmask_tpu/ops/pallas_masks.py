@@ -58,10 +58,16 @@ def _mask_kernel(aidx_ref, box_ref, na_ref, field_ref, out_ref, *, block_h,
 
 
 def assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
-                   block_h=136, interpret=False):
+                   block_h=136, interpret=False, coord_h=None):
     """field: (A, 2, H, W) f32; boxes: (K, 4); anchor_wh: (K, 2) normalized
     anchor sizes of each detection; anchor_idx: (K,) int32.
-    Returns (K, H, W) uint8 masks (0/1)."""
+    Returns (K, H, W) uint8 masks (0/1).
+
+    ``coord_h``: normalization height for the row coordinate (defaults to H).
+    For spatially sharded assembly (parallel/spatial.py) the field is a local
+    row block of a taller image: pass the GLOBAL image height here and shift
+    each box's cy down by the shard's row offset — rows then evaluate at their
+    global normalized coordinates with an unmodified kernel."""
     a, two, h, w = field.shape
     k = boxes.shape[0]
     assert w % 8 == 0 and h % block_h == 0
@@ -85,7 +91,7 @@ def assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
     )
 
     kernel = functools.partial(
-        _mask_kernel, block_h=block_h, image_h=h, image_w=w,
+        _mask_kernel, block_h=block_h, image_h=coord_h or h, image_w=w,
         orien_thresh=orien_thresh,
     )
     return pl.pallas_call(
@@ -134,7 +140,8 @@ def _mask_kernel_bitpack(aidx_ref, box_ref, na_ref, field_ref, packmat_ref,
 
 
 def assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
-                             orien_thresh=0.3, block_h=136, interpret=False):
+                             orien_thresh=0.3, block_h=136, interpret=False,
+                             coord_h=None):
     """Fused Pallas assembly + in-kernel bit-packing.
 
     Same contract as ``assemble_masks`` but returns (K, H, W/8) uint8 packed
@@ -169,7 +176,7 @@ def assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
     )
 
     kernel = functools.partial(
-        _mask_kernel_bitpack, block_h=block_h, image_h=h, image_w=w,
+        _mask_kernel_bitpack, block_h=block_h, image_h=coord_h or h, image_w=w,
         orien_thresh=orien_thresh,
     )
     return pl.pallas_call(
@@ -180,9 +187,9 @@ def assemble_masks_bitpacked(field, boxes, anchor_wh, anchor_idx,
     )(anchor_idx.astype(jnp.int32), boxes, anchor_wh, field, packmat)
 
 
-def _mask_kernel_anchor(aidx_ref, box_ref, anchor_ref, field_ref, packmat_ref,
-                        out_ref, *, block_h, image_h, image_w, orien_thresh,
-                        n_dets):
+def _mask_kernel_anchor(aidx_ref, box_ref, anchor_ref, row0_ref, field_ref,
+                        packmat_ref, out_ref, *, block_h, image_h, image_w,
+                        orien_thresh, n_dets):
     """Anchor-resident formulation: one grid step per (row-block, anchor),
     looping detections in-kernel with predicated compute + stores.
 
@@ -191,14 +198,21 @@ def _mask_kernel_anchor(aidx_ref, box_ref, anchor_ref, field_ref, packmat_ref,
     K=100, 544^2) of HBM reads.  Here each field block is loaded once per
     anchor (A * 2*H*W*4B = 21 MB) while the output block stays VMEM-resident
     across the inner anchor steps; each detection's rows are written exactly
-    once, by its own anchor's pass."""
+    once, by its own anchor's pass.
+
+    ``row0_ref`` (SMEM, (1,) int32): global row index of this field's first
+    row — 0 for a whole image; the shard offset under spatial row-sharding
+    (parallel/spatial.py). It enters the row iota as an INTEGER before the
+    1/image_h scale, so a sharded evaluation is bit-identical to the whole-
+    image kernel at the same global rows."""
     hi = pl.program_id(0)
     a = pl.program_id(1)
     fx = field_ref[0, 0, :, :]
     fy = field_ref[0, 1, :, :]
 
     rows = (jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 0)
-            + hi * block_h).astype(jnp.float32) * (1.0 / image_h)
+            + hi * block_h + row0_ref[0]
+            ).astype(jnp.float32) * (1.0 / image_h)
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, image_w), 1).astype(
         jnp.float32) * (1.0 / image_w)
     packmat = packmat_ref[...]
@@ -232,7 +246,7 @@ def _mask_kernel_anchor(aidx_ref, box_ref, anchor_ref, field_ref, packmat_ref,
 
 def assemble_masks_anchor_resident(field, boxes, anchor_wh, anchor_idx,
                                    orien_thresh=0.3, block_h=136,
-                                   interpret=False):
+                                   interpret=False, coord_h=None, row0=None):
     """Anchor-resident fused assembly + in-kernel bit-packing.
 
     Same contract as ``assemble_masks_bitpacked`` — returns (K, H, W/8) uint8
@@ -241,11 +255,19 @@ def assemble_masks_anchor_resident(field, boxes, anchor_wh, anchor_idx,
     caller: sizes come from ``norm_anchors[anchor_idx]``).  The kernel hoists
     the anchor-dependent per-pixel sample positions out of the detection loop
     on that invariant.  Field is read once per anchor instead of once per
-    detection (~10x less HBM traffic at K=100)."""
+    detection (~10x less HBM traffic at K=100).
+
+    ``coord_h``/``row0``: global image height and this field's first global
+    row, for spatially row-sharded assembly (bit-identical to the whole-image
+    kernel — see ``_mask_kernel_anchor``). Defaults: whole image."""
     a, two, h, w = field.shape
     k = boxes.shape[0]
     assert w % 8 == 0 and h % block_h == 0
     wp = w // 8
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
+    else:
+        row0 = jnp.asarray(row0, jnp.int32).reshape(1)
 
     packmat = np.zeros((w, wp), np.float32)
     packmat[np.arange(w), np.arange(w) // 8] = _POW2[np.arange(w) % 8]
@@ -264,6 +286,7 @@ def assemble_masks_anchor_resident(field, boxes, anchor_wh, anchor_idx,
             pl.BlockSpec((k, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((a, 2), lambda *_: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda *_: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 2, block_h, w),
                 lambda hi, ai, aidx: (ai, 0, hi, 0),
@@ -279,7 +302,7 @@ def assemble_masks_anchor_resident(field, boxes, anchor_wh, anchor_idx,
     )
 
     kernel = functools.partial(
-        _mask_kernel_anchor, block_h=block_h, image_h=h, image_w=w,
+        _mask_kernel_anchor, block_h=block_h, image_h=coord_h or h, image_w=w,
         orien_thresh=orien_thresh, n_dets=k,
     )
     return pl.pallas_call(
@@ -287,11 +310,12 @@ def assemble_masks_anchor_resident(field, boxes, anchor_wh, anchor_idx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, h, wp), jnp.uint8),
         interpret=interpret,
-    )(aidx32, boxes, anchor_table, field, packmat)
+    )(aidx32, boxes, anchor_table, row0, field, packmat)
 
 
 def assemble_masks_packed(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
-                          block_h=136, interpret=False):
+                          block_h=136, interpret=False, coord_h=None,
+                          row0=None):
     """Pallas assembly + bit-packing -> (K, H, ceil(W/8)) uint8.
 
     Uses the anchor-resident fused kernel when W is 8-divisible (always for
@@ -300,7 +324,11 @@ def assemble_masks_packed(field, boxes, anchor_wh, anchor_idx, orien_thresh=0.3,
 
     if field.shape[-1] % 8 == 0 and not interpret:
         return assemble_masks_anchor_resident(
-            field, boxes, anchor_wh, anchor_idx, orien_thresh, block_h)
+            field, boxes, anchor_wh, anchor_idx, orien_thresh, block_h,
+            coord_h=coord_h, row0=row0)
+    # the W%8 fallback never runs under spatial row-sharding (padded inputs
+    # are always /32 wide there), so the global-row plumbing stays unused
+    assert row0 is None, "row0 requires the anchor-resident kernel (W % 8 == 0)"
     m = assemble_masks(field, boxes, anchor_wh, anchor_idx, orien_thresh,
-                       block_h, interpret)
+                       block_h, interpret, coord_h=coord_h)
     return pack_bits(m.astype(bool))

@@ -88,6 +88,130 @@ def spatial_forward(model, mesh, train=False, dtype=jnp.float32):
 # ``infer.py --spatial N``.
 
 
+def run_batch_spatial(postprocess, mesh, predict, use_pallas=None):
+    """Postprocess with the mask stage row-sharded over ``mesh``'s space axis.
+
+    The detect stage (candidate top-k + decode + NMS fixpoint) stays
+    replicated: its operands are the tiny head grids (17²/34²/68² at 544²,
+    ~1.4 MB total) and the NMS fixpoint is a sequential 400×400 dependence —
+    sharding it buys nothing and costs a gather. The expensive tail is the
+    image-resolution work: the ×4 bilinear orientation upsample (~113 MB of
+    f32 writes at 1088²) and the per-detection mask rasterization (HBM-bound,
+    docs/PERFORMANCE.md frame breakdown). Both are embarrassingly row-
+    parallel, so this runs them under ``shard_map``: each device upsamples
+    ONLY its own output rows (a row slice of the resize matrix — same FLOPs,
+    1/n the writes) and rasterizes its row block of every kept mask. The
+    Pallas kernel receives the global row offset as an integer before its
+    coordinate scale, so shard outputs are bit-identical to the whole-image
+    kernel (ops/pallas_masks.py ``row0``).
+
+    Per-device HBM traffic for upsample+masks drops ~linearly with n_space;
+    cross-device traffic is one broadcast of the stride-4 orientation maps
+    (~2.8 MB at 1088²) plus the packed-mask gather the caller's out_sharding
+    requests (~15 MB at 1088², or zero if the consumer keeps masks sharded).
+
+    Same output contract as ``OrienMaskYOLOPostProcess._run_batch``; equality
+    vs the replicated path is asserted on the CPU mesh (tests/test_spatial.py).
+    """
+    import functools
+
+    from ..models.layers import upsample_matrix
+
+    pp = postprocess
+    n_space = mesh.shape[SPACE_AXIS]
+    big_h, big_w = pp.image_h, pp.image_w
+    if big_h % n_space != 0:
+        raise ValueError(
+            f"run_batch_spatial: image_h={big_h} not divisible by "
+            f"n_space={n_space}")
+    shard_h = big_h // n_space
+    if use_pallas is None:
+        use_pallas = pp.use_pallas_masks and pp.pack_masks
+
+    pred_bboxes = [p[0] for p in predict]
+    pred_oriens = [p[1] for p in predict]
+    # Detect: replicated (GSPMD sees replicated operands in and out).
+    dets = jax.vmap(pp._detect_image)(pred_bboxes)
+
+    x = jnp.concatenate(pred_oriens, axis=-1)  # (B, H/4, W/4, 6A) stride-4
+    mh = jnp.asarray(upsample_matrix(big_h, x.shape[1], False))
+    mw = jnp.asarray(upsample_matrix(big_w, x.shape[2], False))
+    perm = jnp.asarray(pp.orien_channel_perm)
+    na_table = jnp.asarray(pp.norm_anchors)
+    mesh_x = jnp.asarray(pp.mesh_x)           # (1, W) normalized cols
+    mesh_y = jnp.asarray(pp.mesh_y)           # (H, 1) normalized rows
+
+    def _block_h():
+        for bh in (136, 128, 64, 32, 16, 8):
+            if shard_h % bh == 0:
+                return bh
+        return shard_h
+
+    def local(x, boxes5, anchor_idx, valid):
+        row0 = jax.lax.axis_index(SPACE_AXIS) * shard_h
+        # This shard's output rows = a row slice of the resize matrix: the
+        # H-matmul emits only shard_h rows (same total FLOPs across devices,
+        # 1/n_space of the HBM writes each).
+        mh_loc = jax.lax.dynamic_slice_in_dim(mh, row0, shard_h, 0)
+        up = jnp.einsum("Hh,bhwc->bHwc", mh_loc, x,
+                        preferred_element_type=jnp.float32)
+        up = jnp.einsum("Ww,bhwc->bhWc", mw, up,
+                        preferred_element_type=jnp.float32)
+        up = up[..., perm]
+        b = up.shape[0]
+        field = up.reshape(b, shard_h, big_w, pp.num_anchors_total, 2)
+        boxes = boxes5[..., :4]
+
+        if use_pallas:
+            field_t = field.transpose(0, 3, 4, 1, 2)  # (B, A, 2, shard_h, W)
+            from ..ops.pallas_masks import assemble_masks_packed
+
+            packed = []
+            for i in range(b):  # static unroll, as in _run_batch
+                a_i = anchor_idx[i]
+                packed.append(assemble_masks_packed(
+                    field_t[i], boxes[i], na_table[a_i], a_i,
+                    orien_thresh=pp.orien_thresh, block_h=_block_h(),
+                    coord_h=big_h, row0=row0))
+            masks = jnp.stack(packed)
+            return masks * valid[..., None, None].astype(jnp.uint8)
+
+        # XLA path (CPU mesh / no Pallas): identical math to
+        # pp._assemble_masks with the row mesh sliced to this shard — the
+        # slice reads the SAME precomputed mesh array, so shard outputs are
+        # bit-identical to the replicated path.
+        my_loc = jax.lax.dynamic_slice_in_dim(mesh_y, row0, shard_h, 0)
+
+        def one(a, box, field_img):
+            fx = field_img[:, :, a, 0] * (na_table[a, 0] * 0.5) + mesh_x
+            fy = field_img[:, :, a, 1] * (na_table[a, 1] * 0.5) + my_loc
+            mx = jnp.abs(fx - box[0]) < pp.orien_thresh * box[2]
+            my = jnp.abs(fy - box[1]) < pp.orien_thresh * box[3]
+            return mx & my
+
+        masks = jax.vmap(  # over batch
+            lambda aidx, bxs, f: jax.vmap(
+                functools.partial(one, field_img=f))(aidx, bxs)
+        )(anchor_idx, boxes, field)
+        masks = masks & valid[:, :, None, None]
+        if pp.pack_masks:
+            from ..ops.maskops import pack_bits
+
+            return pack_bits(masks)
+        return masks
+
+    rep = P()
+    masks = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, rep),
+        out_specs=P(None, None, SPACE_AXIS, None),
+        check_vma=False,
+    )(x, dets["bbox"], dets["anchor"], dets["valid"])
+
+    return {"bbox": dets["bbox"], "cls": dets["cls"], "mask": masks,
+            "valid": dets["valid"]}
+
+
 def shard_spatial_batch(batch, mesh):
     """Place a train batch on a ``(data, space)`` mesh: images row-sharded
     over space, every other leaf batch-sharded only.

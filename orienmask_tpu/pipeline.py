@@ -17,14 +17,23 @@ from .models.layers import default_ctx
 
 class InferencePipeline:
     def __init__(self, model, variables, transform, postprocess,
-                 compute_dtype="bfloat16", mesh=None):
+                 compute_dtype="bfloat16", mesh=None, spatial_masks="auto"):
         """``mesh``: optional ``(data, space)`` mesh from
         ``parallel.spatial.spatial_mesh`` — shards the input image rows across
         devices (GSPMD conv halo exchange) for multi-chip batch-1 latency at
         large resolutions; outputs come back replicated.  Default: one device.
+
+        ``spatial_masks``: with a mesh whose space axis > 1, also row-shard
+        the postprocess tail (orientation upsample + mask rasterization) via
+        ``parallel.spatial.run_batch_spatial`` instead of gathering head
+        outputs to replicated first — the detect stage stays replicated
+        (tiny), the HBM-bound image-resolution tail splits ~linearly.
+        "auto": on whenever the network height divides evenly; True/False
+        force it.
         """
         self.model = model
         self.mesh = mesh
+        self.spatial_masks = spatial_masks
         self.transform = transform  # FastCOCOTransform description
         self.postprocess = postprocess
         self.dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -95,6 +104,18 @@ class InferencePipeline:
             and self.transform.interpolation == "bilinear"
         )
 
+        # Row-shard the postprocess tail over the mesh's space axis when asked
+        # (or automatically when the shape divides) — parallel/spatial.py.
+        sp = self.spatial_masks
+        n_space = self.mesh.shape.get("space", 1) if self.mesh is not None else 1
+        use_spatial_pp = (
+            n_space > 1
+            and (sp is True or (sp == "auto" and h % n_space == 0)))
+        if sp is True and h % n_space != 0:
+            raise ValueError(
+                f"spatial_masks: network height {h} not divisible by the "
+                f"mesh space axis ({n_space})")
+
         def run(folded, image_u8):
             x = image_u8.astype(jnp.float32)
             ctx = default_ctx(train=False, dtype=self.dtype)
@@ -108,6 +129,10 @@ class InferencePipeline:
             else:
                 x = self.transform.apply(x)
                 predict = self.model.apply_folded(folded, x, ctx)
+            if use_spatial_pp:
+                from .parallel.spatial import run_batch_spatial
+
+                return run_batch_spatial(self.postprocess, self.mesh, predict)
             return self.postprocess._run_batch(predict)
 
         return run

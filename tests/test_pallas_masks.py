@@ -71,3 +71,36 @@ def test_anchor_resident_kernel_matches_reference():
     got = unpack_bits_np(np.asarray(packed), w)
     ref = _jnp_reference(field, boxes, anchor_wh, anchor_idx, 0.3)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_anchor_resident_row0_shards_match_whole_image():
+    """Spatial row-sharding contract (parallel/spatial.py): evaluating the
+    kernel on a row block with ``coord_h`` = global H and ``row0`` = the
+    block's first global row must be BIT-identical to the corresponding rows
+    of the whole-image call — row0 enters the row iota as an integer before
+    the 1/H scale, so the arithmetic is literally the same."""
+    rng = np.random.default_rng(2)
+    a, h, w, k = 6, 64, 64, 10
+    n_shards, hs = 4, 16
+    field = rng.standard_normal((a, 2, h, w)).astype(np.float32)
+    boxes = np.stack([
+        rng.uniform(0.2, 0.8, k), rng.uniform(0.2, 0.8, k),
+        rng.uniform(0.1, 0.6, k), rng.uniform(0.1, 0.6, k),
+    ], axis=1).astype(np.float32)
+    anchor_idx = rng.integers(0, a, k).astype(np.int32)
+    table = rng.uniform(0.05, 0.7, (a, 2)).astype(np.float32)
+    anchor_wh = table[anchor_idx]
+
+    whole = np.asarray(assemble_masks_anchor_resident(
+        jnp.asarray(field), jnp.asarray(boxes), jnp.asarray(anchor_wh),
+        jnp.asarray(anchor_idx), orien_thresh=0.3, block_h=16, interpret=True,
+    ))
+    for s in range(n_shards):
+        r0 = s * hs
+        shard = np.asarray(assemble_masks_anchor_resident(
+            jnp.asarray(field[:, :, r0:r0 + hs]), jnp.asarray(boxes),
+            jnp.asarray(anchor_wh), jnp.asarray(anchor_idx),
+            orien_thresh=0.3, block_h=16, interpret=True,
+            coord_h=h, row0=r0,
+        ))
+        np.testing.assert_array_equal(shard, whole[:, r0:r0 + hs])
