@@ -80,9 +80,12 @@ class _BaseOrienMask(Module):
 
     def init_variables(self, key):
         # Init on the host CPU backend: eagerly dispatching ~600 tiny init ops
-        # to a (possibly remote) TPU is minutes of round-trips.
+        # to a (possibly remote) TPU is minutes of round-trips.  local_devices,
+        # not devices: under jax.distributed the global cpu list starts with
+        # process 0's devices, and staging onto another process's device makes
+        # the arrays non-addressable here (device_put then raises).
         try:
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu = None
         ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
@@ -93,7 +96,10 @@ class _BaseOrienMask(Module):
             params, stats = load_pretrained_backbone(self, params, stats, self.pretrained)
         # Un-commit from the CPU backend: arrays built under default_device(cpu)
         # are pinned there and would drag every downstream jit onto the CPU.
-        default = jax.devices()[0]
+        # local_devices, not devices: under jax.distributed the global list
+        # starts with process 0's devices, and device_put to another process's
+        # device raises on every other rank.
+        default = jax.local_devices()[0]
         params = jax.device_put(params, default)
         stats = jax.device_put(stats, default)
         return {"params": params, "batch_stats": stats}
@@ -108,13 +114,13 @@ class _BaseOrienMask(Module):
         Runs on the host CPU backend (same remote-dispatch concern as init)."""
         p, s = variables["params"], variables["batch_stats"]
         try:
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu = None
         ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
         with ctx:
             folded = {n: getattr(self, n).fold(p[n], s[n]) for n in self._module_names()}
-        return jax.device_put(folded, jax.devices()[0])
+        return jax.device_put(folded, jax.local_devices()[0])
 
     def named_modules(self, torch_prefix=""):
         for name in self._module_names():

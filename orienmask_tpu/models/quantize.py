@@ -89,7 +89,7 @@ def calibrate_folded(model, folded, images, transform=None):
     """
     from . import layers
 
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     folded_cpu = jax.device_put(folded, cpu)
     id2path = {id(f["kernel"]): p
                for p, _, f in iter_convbn(model, folded_cpu)}
@@ -153,4 +153,4 @@ def quantize_folded(model, folded, act_scales, exclude_stem=False):
     if n_q == 0:
         raise ValueError("no convs were quantized — empty/mismatched "
                          "calibration scales?")
-    return jax.device_put(qfolded, jax.devices()[0])
+    return jax.device_put(qfolded, jax.local_devices()[0])

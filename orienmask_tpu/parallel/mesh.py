@@ -78,6 +78,28 @@ def shard_batch(batch, mesh):
     }
 
 
+def replicate_global(tree, mesh):
+    """Place a pytree replicated over a (possibly multi-process) mesh.
+
+    Single-process: plain ``device_put``.  Multi-process: every process must
+    already hold the SAME values (deterministic seeded init, or the same
+    checkpoint file read by every rank) — the global replicated array is
+    assembled from per-process local copies with
+    ``host_local_array_to_global_array``, because a ``device_put`` of a
+    process-local (or committed single-device) array onto a global-mesh
+    sharding demands a cross-host transfer the CPU/Gloo backend refuses.
+    """
+    repl = replicate_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+    import numpy as np
+
+    from jax.experimental import multihost_utils
+
+    tree = jax.tree_util.tree_map(np.asarray, tree)
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, P())
+
+
 def local_shard(tree):
     """Process-local block of batch-sharded global arrays -> host numpy.
 

@@ -53,7 +53,9 @@ class Tester:
                 f"{n} devices")
             self._batch_sharding = batch_sharding(mesh)
             rep = NamedSharding(mesh, P())
-            folded = jax.device_put(folded, rep)
+            from ..parallel.mesh import replicate_global
+
+            folded = replicate_global(folded, mesh)
             self._fwd = jax.jit(fwd, in_shardings=(rep, self._batch_sharding))
         else:
             self._fwd = jax.jit(fwd)

@@ -160,7 +160,13 @@ def make_train_step(model, loss_fn, optimizer, mesh, accumulate=1,
             )
         # Copy (not just place): train_step donates its state, and device_put is
         # a no-op for already-placed arrays — without the copy the caller's
-        # ``variables`` would be invalidated by the first step.
+        # ``variables`` would be invalidated by the first step.  Multi-process:
+        # replicate_global assembles the global array from the identical
+        # per-rank values (same seed) instead of a cross-host device_put.
+        if jax.process_count() > 1:
+            from ..parallel.mesh import replicate_global
+
+            return replicate_global(state, mesh)
         state = jax.tree_util.tree_map(jnp.array, state)
         return jax.device_put(state, repl)
 

@@ -82,14 +82,18 @@ class Trainer(BaseTrainer):
         }
 
     def _load_state(self, ckpt, strict):
-        from ..parallel.mesh import replicate_sharding
+        # replicate_global: every rank read the same checkpoint file; in
+        # multi-process runs the replicated global arrays are assembled from
+        # those identical per-rank host values (no cross-host transfer).
+        from ..parallel.mesh import replicate_global
 
-        repl = replicate_sharding(self.mesh)
         new_state = dict(self.state)
-        new_state["params"] = jax.device_put(ckpt["params"], repl)
-        new_state["batch_stats"] = jax.device_put(ckpt["batch_stats"], repl)
+        new_state["params"] = replicate_global(ckpt["params"], self.mesh)
+        new_state["batch_stats"] = replicate_global(
+            ckpt["batch_stats"], self.mesh)
         if strict and "opt_state" in ckpt:
-            new_state["opt_state"] = jax.device_put(ckpt["opt_state"], repl)
+            new_state["opt_state"] = replicate_global(
+                ckpt["opt_state"], self.mesh)
         self.state = new_state
 
     # ------------------------------------------------------------ train epoch

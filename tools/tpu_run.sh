@@ -15,21 +15,27 @@ SCRIPT=$1; LOG=$2; WATCH=${3:-150}; TRIES=${4:-4}; TOTAL=${5:-540}
 progress() { grep -v '^WATCHDOG' "$LOG" | grep -q "\["; }
 for i in $(seq 1 $TRIES); do
   : > "$LOG"
-  timeout -k 10 $TOTAL sh -c "python $SCRIPT" >> "$LOG" 2>&1 &
+  # setsid: the attempt (timeout -> sh -> python) runs as its own process
+  # group so the watchdog can kill the WHOLE tree with kill -- -$PID.
+  # An earlier version killed only the timeout wrapper, orphaning the
+  # python grandchild — which kept the wedged TPU client alive and blocked
+  # every retry (and any other chip user) behind it.
+  setsid timeout -k 10 $TOTAL sh -c "exec python $SCRIPT" >> "$LOG" 2>&1 &
   PID=$!
   SECS=0
   KILLED=0
   while kill -0 $PID 2>/dev/null; do
     sleep 10; SECS=$((SECS+10))
     if [ $SECS -ge $WATCH ] && ! progress; then
-      echo "WATCHDOG: no progress after ${SECS}s, killing (attempt $i)" >> "$LOG"
-      kill -9 $PID 2>/dev/null
+      echo "WATCHDOG: no progress after ${SECS}s, killing group (attempt $i)" >> "$LOG"
+      kill -9 -- -$PID 2>/dev/null
       KILLED=1
       break
     fi
   done
   wait $PID 2>/dev/null
   RC=$?
+  kill -9 -- -$PID 2>/dev/null  # reap any stragglers in the group
   if [ $KILLED -eq 0 ] && [ $RC -eq 0 ]; then
     exit 0
   fi
