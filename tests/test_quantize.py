@@ -186,3 +186,54 @@ def test_quantized_serving_roundtrip(tmp_path):
                                           np.asarray(got[k]), err_msg=k)
     finally:
         DarkNet53.STAGE_BLOCKS = orig
+
+
+def test_int8_spatial_forward_matches_single_device():
+    """int8 + spatial composition (VERDICT r3 task 5): the QUANTIZED folded
+    forward under a row-sharded (data, space) mesh must equal the same
+    quantized program on one device.  GSPMD partitions the int8 convs exactly
+    like the float ones (halo exchange is dtype-agnostic), so equality here is
+    the composition statement PERFORMANCE.md's int8 section cites."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orienmask_tpu.models import OrienMaskYOLOFPNPlus
+    from orienmask_tpu.models.darknet import DarkNet53
+    from orienmask_tpu.models.layers import default_ctx
+    from orienmask_tpu.models.quantize import calibrate_folded, quantize_folded
+    from orienmask_tpu.parallel.spatial import image_sharding, spatial_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    old = DarkNet53.STAGE_BLOCKS
+    DarkNet53.STAGE_BLOCKS = (1, 1, 1, 1, 1)
+    try:
+        model = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        folded = model.fold(variables)
+        rng = np.random.default_rng(1)
+        calib = rng.integers(0, 255, (2, 128, 128, 3), np.uint8) / 255.0
+        scales = calibrate_folded(model, folded, calib)
+        qfolded = quantize_folded(model, folded, scales)
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 128, 3),
+                              jnp.float32)
+        ctx = default_ctx(train=False, dtype=jnp.float32)
+
+        def fwd(f, im):
+            return model.apply_folded(f, im, ctx)
+
+        ref = jax.jit(fwd)(qfolded, x)
+
+        mesh = spatial_mesh(n_space=2, n_data=2)
+        rep = NamedSharding(mesh, P())
+        sp = jax.jit(fwd, in_shardings=(rep, image_sharding(mesh)),
+                     out_shardings=rep)(jax.device_put(qfolded, rep),
+                                        jax.device_put(x, image_sharding(mesh)))
+        for (rb, ro), (sb, so) in zip(ref, sp):
+            np.testing.assert_allclose(np.asarray(rb), np.asarray(sb),
+                                       atol=2e-5, rtol=2e-5)
+            np.testing.assert_allclose(np.asarray(ro), np.asarray(so),
+                                       atol=2e-5, rtol=2e-5)
+    finally:
+        DarkNet53.STAGE_BLOCKS = old
