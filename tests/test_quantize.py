@@ -143,6 +143,49 @@ def test_pipeline_quantize_int8_smoke(tiny_quantized):
     assert dets_q[0]["mask"].shape[1:] == dets_f[0]["mask"].shape[1:]
 
 
+def test_streaming_over_quantized_pipeline(tiny_quantized):
+    """int8 + --video composition, actually streamed (ADVICE r4): frames run
+    through StreamingPipeline wrapping a quantize_int8'd InferencePipeline
+    must equal the same quantized pipeline's direct run_device outputs —
+    the submit/retrieve queue adds pipelining, not arithmetic."""
+    from orienmask_tpu.models.darknet import DarkNet53
+
+    assert DarkNet53.STAGE_BLOCKS == (1, 1, 1, 1, 1)
+    from orienmask_tpu.config.base import ANCHORS_MASK, ANCHORS_YOLOV4
+    from orienmask_tpu.data.transform import FastCOCOTransform
+    from orienmask_tpu.models import OrienMaskYOLOFPNPlus
+    from orienmask_tpu.ops.postprocess import OrienMaskYOLOPostProcess
+    from orienmask_tpu.pipeline import InferencePipeline
+    from orienmask_tpu.stream import StreamingPipeline
+
+    size = 96
+    model = OrienMaskYOLOFPNPlus(num_anchors=3, num_classes=80)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    transform = FastCOCOTransform([
+        dict(type="Resize", size=(size, size)),
+        dict(type="Normalize", mean=(0, 0, 0), std=(255, 255, 255)),
+    ])
+    pp = OrienMaskYOLOPostProcess(
+        grid_size=[[size // 32] * 2, [size // 16] * 2, [size // 8] * 2],
+        image_size=[size, size], anchors=ANCHORS_YOLOV4,
+        anchor_mask=ANCHORS_MASK, num_classes=80, conf_thresh=0.005,
+        nms=dict(threshold=0.5), nms_pre=50, nms_post=10, orien_thresh=0.3,
+    )
+    pipe = InferencePipeline(model, variables, transform, pp, "float32")
+    rng = np.random.default_rng(11)
+    pipe.quantize_int8(rng.integers(0, 255, (1, 96, 96, 3), np.uint8))
+
+    frames = [rng.integers(0, 255, (1, 128, 160, 3), np.uint8)
+              for _ in range(4)]
+    streamed = list(StreamingPipeline(pipe, depth=2)(frames))
+    assert len(streamed) == len(frames)
+    for frame, got in zip(frames, streamed):
+        want = pp.to_host_list(pipe.run_device(frame))
+        assert len(got) == len(want) == 1
+        for k in ("bbox", "cls", "mask"):
+            np.testing.assert_array_equal(want[0][k], got[0][k], err_msg=k)
+
+
 def test_quantized_serving_roundtrip(tmp_path):
     """A quantized pipeline exports/loads through the AOT serving path with
     int8 weights riding the shared npz, bit-identical to the live program."""
