@@ -176,6 +176,41 @@ def _flat(tree):
                            for x in jax.tree_util.tree_leaves(tree)])
 
 
+def test_cli_two_process_tiny_always_on(tmp_path):
+    """Always-on sibling of the slow kill/resume rehearsal (VERDICT r4 task
+    5): the default suite must exercise a REAL 2-process ``train.py`` spawn —
+    coordinator rendezvous, run-dir stamp broadcast, rank-sharded loaders,
+    SyncBN + grad all-reduce across process boundaries — not only the
+    in-process CPU-mesh stand-ins.  Kept cheap: 1 epoch, 8 images, no val
+    (val_freq > epochs), tiny shapes; the full kill -9 + resume + 3-run
+    equivalence matrix stays in the slow-marked test below."""
+    cfg = _make_config(str(tmp_path / "data"), str(tmp_path / "logs"),
+                       epochs=1)
+    # no val epoch (val_freq > epochs) -> the epoch-1 save rides the
+    # temp-checkpoint branch (epochN.ckpt only lands on val epochs,
+    # trainer/base.py cadence == reference trainer/base.py:143-171)
+    cfg.update(val_freq=99, save_freq=1, temp_save_freq=1)
+    # 8 of the generated 16 images: one global batch per epoch
+    lf = cfg["train_loader"]["dataset"]["list_file"]
+    names = open(lf).read().split()[:8]
+    open(lf, "w").write("\n".join(names) + "\n")
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    _finish(_launch(cfg_path), timeout=900)
+    run = _run_dir(str(tmp_path / "logs"))
+    assert os.path.exists(os.path.join(run, "temp.ckpt"))
+    log = open(os.path.join(run, "train.log")).read()
+    assert "[EPOCH 1]" in log and "loss_sum" in log
+    # both ranks wrote into ONE run dir (stamp broadcast worked): exactly one
+    # run dir exists under log_dir
+    assert len(glob.glob(os.path.join(str(tmp_path / "logs"),
+                                      "cli2proc_*"))) == 1
+    # the checkpoint is loadable and finite
+    st = _load_params(os.path.join(run, "temp.ckpt"))
+    assert np.isfinite(_flat(st["params"])).all()
+
+
 @pytest.mark.slow
 def test_full_cli_two_process_kill_resume(tmp_path):
     cfg = _make_config(str(tmp_path / "data"), str(tmp_path / "logsA"))
