@@ -60,7 +60,8 @@ def greedy_nms_select(boxes, scores, n_keep, iou_threshold=0.5):
     return keep_idx, keep_valid
 
 
-def greedy_nms_fixpoint(boxes, scores, n_keep, iou_threshold=0.5):
+def greedy_nms_fixpoint(boxes, scores, n_keep, iou_threshold=0.5,
+                        presorted=False):
     """Greedy NMS via suppression-closure fixpoint — the TPU-fast formulation.
 
     In descending-score order, the greedy kept set satisfies
@@ -74,11 +75,22 @@ def greedy_nms_fixpoint(boxes, scores, n_keep, iou_threshold=0.5):
 
     Returns (keep_idx, keep_valid) like ``greedy_nms_select``: the top
     ``n_keep`` surviving candidates in descending score order.
+
+    ``presorted=True``: the caller guarantees ``scores`` is already
+    descending (the detect stage feeds the output of a top-k here, so the
+    argsort is the identity permutation) — skips the sort and both gathers.
+    Bit-identical: ``jnp.argsort`` is stable, so on sorted input it IS the
+    identity, ties included (tests/test_nms.py).
     """
     n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
-    svalid = scores[order] > NEG_INF / 2
+    if presorted:
+        order = jnp.arange(n)
+        sboxes = boxes
+        svalid = scores > NEG_INF / 2
+    else:
+        order = jnp.argsort(-scores)
+        sboxes = boxes[order]
+        svalid = scores[order] > NEG_INF / 2
 
     from .boxes import bbox_ious
 
@@ -109,7 +121,7 @@ def greedy_nms_fixpoint(boxes, scores, n_keep, iou_threshold=0.5):
 
 
 def batched_class_nms(boxes, scores, classes, n_keep, iou_threshold=0.5,
-                      normalized=True, method="fixpoint"):
+                      normalized=True, method="fixpoint", presorted=False):
     """Class-wise greedy NMS via coordinate offsets (reference batched_nms).
 
     ``normalized=True`` uses max_coordinate=1.5 so the per-class offset is
@@ -119,7 +131,8 @@ def batched_class_nms(boxes, scores, classes, n_keep, iou_threshold=0.5,
     offsets = classes.astype(boxes.dtype)[:, None] * (max_coordinate + 0.5)
     shifted = jnp.concatenate([boxes[:, :2] + offsets, boxes[:, 2:4]], axis=1)
     if method == "fixpoint":
-        return greedy_nms_fixpoint(shifted, scores, n_keep, iou_threshold)
+        return greedy_nms_fixpoint(shifted, scores, n_keep, iou_threshold,
+                                   presorted=presorted)
     return greedy_nms_select(shifted, scores, n_keep, iou_threshold)
 
 

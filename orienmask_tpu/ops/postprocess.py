@@ -36,7 +36,8 @@ class OrienMaskYOLOPostProcess:
     def __init__(self, grid_size, image_size, anchors, anchor_mask, num_classes,
                  conf_thresh=0.05, nms=None, nms_pre=400, nms_post=100,
                  orien_thresh=0.3, topk_mode="twostage", pack_masks=False,
-                 use_pallas_masks="auto", topk_nsplit=None):
+                 use_pallas_masks="auto", topk_nsplit=None,
+                 use_pallas_topk="auto"):
         self.grid_hw = [tuple(g) for g in grid_size]
         self.image_h, self.image_w = _pair(image_size)
         self.anchor_mask = [list(m) for m in anchor_mask]
@@ -70,6 +71,17 @@ class OrienMaskYOLOPostProcess:
 
             use_pallas_masks = is_tpu_platform()
         self.use_pallas_masks = bool(use_pallas_masks)
+        # Pallas radix-select for the two twostage selection top-ks
+        # (ops/pallas_topk.py — bit-identical to lax.top_k).  TPU-only kernel;
+        # ORIENMASK_PALLAS_TOPK=0/1 overrides for on-chip A/Bs.
+        env_topk = _os.environ.get("ORIENMASK_PALLAS_TOPK")
+        if env_topk is not None:
+            use_pallas_topk = env_topk not in ("0", "")
+        if use_pallas_topk == "auto":
+            from ..utils.envs import is_tpu_platform
+
+            use_pallas_topk = is_tpu_platform()
+        self.use_pallas_topk = bool(use_pallas_topk)
 
         anchors = np.asarray(anchors, np.float32)
         self.norm_anchors = anchors / np.array([self.image_w, self.image_h], np.float32)
@@ -179,6 +191,16 @@ class OrienMaskYOLOPostProcess:
         v2, j = jax.lax.top_k(jnp.concatenate(vs), k)
         return v2, jnp.concatenate(is_)[j]
 
+    def _topk(self, x, k):
+        """Selection top-k for the twostage path: Pallas radix-select on TPU
+        (ops/pallas_topk.py), split-merge ``lax.top_k`` elsewhere — both
+        bit-identical to ``jax.lax.top_k(x, k)``."""
+        if self.use_pallas_topk:
+            from .pallas_topk import exact_topk
+
+            return exact_topk(x, k)
+        return self._topk_split(x, k, nsplit=self.topk_nsplit)
+
     def _flat_scores(self, pred_bboxes):
         """Per-detection max score vector in flat order WITHOUT materializing
         the (P, 5+C) buffer: the cls-max + sigmoid run in each scale's native
@@ -242,17 +264,17 @@ class OrienMaskYOLOPostProcess:
             det_max = jax.nn.sigmoid(jnp.max(flat[:, 5:], axis=1)) \
                 * jax.nn.sigmoid(flat[:, 4])
             det_max = jnp.where(det_max > self.conf_thresh, det_max, -1.0)
-            # Split-merge here too: 18207 elements sit just above the top-k
-            # size cliff (one top_k 0.84 ms vs split2 0.48 ms standalone,
-            # tools/bench_sel_stem.py) — bit-identical by the _topk_split
-            # tie-break argument.
-            _, top_det = self._topk_split(det_max, self.nms_pre,
-                                          nsplit=self.topk_nsplit)
+            # _topk: Pallas radix-select on TPU, split-merge lax.top_k
+            # elsewhere (18207 elements sit just above the top-k size cliff:
+            # one top_k 0.84 ms vs split2 0.48 ms standalone vs ~µs-scale
+            # radix select, tools/bench_sel_stem.py, bench_detect.py) — all
+            # bit-identical by the shared lax.top_k tie-break contract.
+            _, top_det = self._topk(det_max, self.nms_pre)
             sub_rows = flat[top_det]  # (nms_pre, 5+C)
             sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
                 * jax.nn.sigmoid(sub_rows[:, 4:5])
             sub = jnp.where(sub > self.conf_thresh, sub, -1.0)
-            v, idx = self._topk_split(sub.reshape(-1), self.nms_pre)
+            v, idx = self._topk(sub.reshape(-1), self.nms_pre)
             det_idx = top_det[idx // c]
             cls_idx = idx % c
         valid = v > self.conf_thresh
@@ -300,22 +322,26 @@ class OrienMaskYOLOPostProcess:
         else:
             det_max = self._flat_scores(pred_bboxes)
             det_max = jnp.where(det_max > self.conf_thresh, det_max, -1.0)
-            _, top_det = self._topk_split(det_max, self.nms_pre,
-                                          nsplit=self.topk_nsplit)
+            _, top_det = self._topk(det_max, self.nms_pre)
             sub_rows = self._gather_rows(pred_bboxes, top_det)
             sub = jax.nn.sigmoid(sub_rows[:, 5:]) \
                 * jax.nn.sigmoid(sub_rows[:, 4:5])
             sub = jnp.where(sub > self.conf_thresh, sub, -1.0)
-            scores, idx = self._topk_split(sub.reshape(-1), self.nms_pre)
+            scores, idx = self._topk(sub.reshape(-1), self.nms_pre)
             det_idx = top_det[idx // c]
             cls_idx = idx % c
             valid = scores > self.conf_thresh
             cand_rows = sub_rows[idx // c]
         cand_boxes = self._decode_rows(cand_rows, det_idx)
         cand_anchor = jnp.asarray(self.det_anchor_idx)[det_idx]
+        # scores is a top-k output (descending; the invalid tail maps to
+        # NEG_INF and was already the suffix), so the NMS can skip its
+        # argsort+gathers — bit-identical (stable argsort == identity here,
+        # tests/test_postprocess.py::test_fixpoint_presorted_identity).
         nms_scores = jnp.where(valid, scores, NEG_INF)
         keep_idx, keep_valid = batched_class_nms(
-            cand_boxes, nms_scores, cls_idx, self.nms_post, self.nms_threshold
+            cand_boxes, nms_scores, cls_idx, self.nms_post, self.nms_threshold,
+            presorted=True,
         )
 
         boxes = cand_boxes[keep_idx]

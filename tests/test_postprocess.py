@@ -134,6 +134,33 @@ def test_fixpoint_equals_sequential_select():
             np.asarray(a_idx)[:nv], np.asarray(b_idx)[:nv], err_msg=f"trial {trial}")
 
 
+def test_fixpoint_presorted_identity():
+    """presorted=True on descending scores must equal the general path
+    bit-for-bit, ties included (argsort is stable -> identity on sorted
+    input).  This is the contract _detect_image relies on: its NMS input is
+    the output of a top-k (descending), with the invalid tail at NEG_INF."""
+    from orienmask_tpu.ops.nms import NEG_INF, greedy_nms_fixpoint
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        n = 150
+        boxes = np.stack([
+            rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+            rng.uniform(0.02, 0.5, n), rng.uniform(0.02, 0.5, n),
+        ], axis=1).astype(np.float32)
+        # descending with heavy ties and a NEG_INF tail, like the detect feed
+        scores = np.sort(rng.choice([0.9, 0.5, 0.5, 0.1], n))[::-1].copy()
+        scores[-30:] = NEG_INF
+        scores = scores.astype(np.float32)
+        a_idx, a_valid = greedy_nms_fixpoint(
+            jnp.asarray(boxes), jnp.asarray(scores), 50, 0.5)
+        b_idx, b_valid = greedy_nms_fixpoint(
+            jnp.asarray(boxes), jnp.asarray(scores), 50, 0.5, presorted=True)
+        np.testing.assert_array_equal(np.asarray(a_valid), np.asarray(b_valid))
+        np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx),
+                                      err_msg=f"trial {trial}")
+
+
 def test_topk_split_bitexact_with_ties():
     """_topk_split must equal lax.top_k bit-for-bit — values AND indices —
     including heavy-tie inputs (quantized scores) and every nsplit/odd-length

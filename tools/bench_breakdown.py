@@ -30,6 +30,12 @@ _ap.add_argument("--size", type=int, default=544)
 _ap.add_argument("--int8", action="store_true",
                  help="quantize the pipeline first (models/quantize.py) and "
                       "break down the int8 frame")
+_ap.add_argument("--spatial-tail", action="store_true",
+                 help="also time parallel/spatial.run_batch_spatial on a "
+                      "1-wide space mesh (the row-sharded tail program's "
+                      "degenerate single-chip case) — pins the spatial cost "
+                      "model's tail inputs to measured values (VERDICT r4 "
+                      "task 6)")
 _args = _ap.parse_args()
 N, SIZE = _args.n, _args.size
 assert SIZE % 32 == 0, "input size must be /32-divisible (model contract)"
@@ -109,6 +115,22 @@ def main():
     tick(f"sum fwd+pp = {(t_fwd+t_pp)*1e3:.3f} ms vs fused {t_all*1e3:.3f} ms")
     tick(f"mask assembly ~= {(t_pp-t_det)*1e3:.3f} ms; "
          f"detect-only ~= {t_det*1e3:.3f} ms")
+
+    if _args.spatial_tail:
+        # The row-sharded tail program (upsample + rasterize under shard_map)
+        # on a 1-wide space axis: semantically identical to _run_batch's tail
+        # (tests/test_spatial.py), so its single-chip stage time is the
+        # [measured] anchor the S>1 projections scale from.
+        import functools
+
+        from orienmask_tpu.parallel.spatial import (run_batch_spatial,
+                                                    spatial_mesh)
+
+        mesh1 = spatial_mesh(1)
+        sp_tail = jax.jit(functools.partial(run_batch_spatial, pp, mesh1))
+        t_sp = timed("spatial tail S=1 (detect + sharded masks)", sp_tail, pred)
+        tick(f"spatial-tail masks ~= {(t_sp-t_det)*1e3:.3f} ms "
+             f"(replicated-tail masks {(t_pp-t_det)*1e3:.3f} ms)")
 
 
 if __name__ == "__main__":

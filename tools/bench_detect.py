@@ -29,7 +29,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_pp(size=544):
+def make_pp(size=544, **kw):
     from orienmask_tpu.config.base import ANCHORS_MASK, ANCHORS_YOLOV4
     from orienmask_tpu.ops.postprocess import OrienMaskYOLOPostProcess
 
@@ -38,7 +38,7 @@ def make_pp(size=544):
         image_size=[size, size], anchors=ANCHORS_YOLOV4,
         anchor_mask=ANCHORS_MASK, num_classes=80, conf_thresh=0.005,
         nms=dict(threshold=0.5), nms_pre=400, nms_post=100,
-        orien_thresh=0.3, pack_masks=True)
+        orien_thresh=0.3, pack_masks=True, **kw)
 
 
 def make_heads(pp, batch, size, seed=0):
@@ -51,16 +51,26 @@ def make_heads(pp, batch, size, seed=0):
 
 
 def timeit(fn, args, n_frames, n_windows=5, warmup=2):
+    """Pipelined window timing, bench.py-style: EVERY call's outputs are
+    kept alive and the window blocks on all of them.  Blocking only on the
+    last call lets the async relay client discard (never execute) the
+    dropped-output computations — measured: every stage reads ~0.02 ms
+    'dispatch-only' regardless of workload.  n_frames is capped so the
+    retained outputs stay under ~2.5 GB of HBM."""
+    out_bytes = sum(
+        np.prod(l.shape) * l.dtype.itemsize
+        for l in jax.tree_util.tree_leaves(jax.eval_shape(fn, *args)))
+    n_frames = max(10, min(n_frames, int(2.5e9 / max(out_bytes, 1))))
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
     times = []
     for _ in range(n_windows):
         t0 = time.perf_counter()
-        for _ in range(n_frames):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        outs = [fn(*args) for _ in range(n_frames)]
+        jax.block_until_ready(outs)
         times.append((time.perf_counter() - t0) / n_frames)
+        del outs
     times.sort()
     return times[len(times) // 2], times[0], times[-1]
 
@@ -71,7 +81,9 @@ def main():
     size = 544
 
     for batch in (1, 8, 16):
-        pp = make_pp(size)
+        # default pp pinned to the XLA top-k so the flat/select/decode/native
+        # rows measure the round-4 formulation; the pallas row is the A/B
+        pp = make_pp(size, use_pallas_topk=False)
         heads = make_heads(pp, batch, size)
 
         def flat_only(hs):
@@ -91,6 +103,15 @@ def main():
 
         def full_detect(hs):
             return jax.vmap(pp._detect_image)(hs)
+
+        pp_pl = make_pp(size, use_pallas_topk=True)
+        pp_xla = make_pp(size, use_pallas_topk=False)
+
+        def detect_pallas(hs):
+            return jax.vmap(pp_pl._detect_image)(hs)
+
+        def detect_xla_topk(hs):
+            return jax.vmap(pp_xla._detect_image)(hs)
 
         def detect_flatbuf(hs):
             # round-3 formulation: materialized (B, P, 5+C) transposed buffer
@@ -113,7 +134,9 @@ def main():
         for name, fn in (("flat", flat_only), ("select", select),
                          ("sel+decode", select_decode),
                          ("detect(flatbuf)", detect_flatbuf),
-                         ("detect(native)", full_detect)):
+                         ("detect(native)", full_detect),
+                         ("detect(xla-topk)", detect_xla_topk),
+                         ("detect(pallas-topk)", detect_pallas)):
             jfn = jax.jit(fn)
             med, lo, hi = timeit(jfn, (heads,), n_frames)
             per_img = med / batch * 1e3

@@ -21,14 +21,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(variant, timeout=900):
+def run_once(variant, timeout=2400):
+    # timeout must cover bench.py's OWN wedge-retry supervisor (up to ~6
+    # attempts x (480s + backoff) in a bad relay window); and a timeout here
+    # is a data point to skip, not a reason to lose the whole envelope.
     env = dict(os.environ)
     env.pop("ORIENMASK_BENCH_INT8", None)
     if variant == "int8":
         env["ORIENMASK_BENCH_INT8"] = "1"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"bench run ({variant}) timed out after {timeout}s — skipped",
+              file=sys.stderr)
+        return None
     if out.returncode != 0:
         print("bench run failed:\n" + out.stderr[-2000:], file=sys.stderr)
         return None

@@ -356,9 +356,45 @@ def check_torch_oracle_544():
                   f"mean mask diff fraction={mask_err:.4f}")
 
 
+def check_pallas_topk():
+    """exact_topk (ops/pallas_topk.py) vs lax.top_k, compiled Mosaic path —
+    the detect-stage selection shapes plus the adversarial tie patterns
+    (thousands of equal -1.0 sentinels fighting for the tail by index)."""
+    from orienmask_tpu.ops.pallas_topk import exact_topk
+
+    rng = np.random.default_rng(0)
+    cases = [
+        ("random18207", rng.standard_normal(18207).astype(np.float32), 400),
+        ("random32000", rng.standard_normal(32000).astype(np.float32), 400),
+    ]
+    x = np.full(18207, -1.0, np.float32)
+    pos = rng.choice(18207, 23, replace=False)
+    x[pos] = rng.uniform(0.005, 1.0, 23).astype(np.float32)
+    cases.append(("sentinel_ties", x, 400))
+    cases.append(("quantized_ties",
+                  rng.choice([0.1, 0.2, 0.3, -1.0], 32000)
+                  .astype(np.float32), 400))
+    for name, arr, k in cases:
+        xj = jnp.asarray(arr)
+        want_v, want_i = jax.jit(
+            lambda a: jax.lax.top_k(a, k))(xj)
+        got_v, got_i = exact_topk(xj, k)
+        ok = (np.array_equal(np.asarray(want_v), np.asarray(got_v))
+              and np.array_equal(np.asarray(want_i), np.asarray(got_i)))
+        check(f"pallas_topk/{name}", ok)
+    # batched, as _detect_image uses it under vmap
+    xb = jnp.asarray(rng.standard_normal((4, 18207)), jnp.float32)
+    want_v, want_i = jax.jit(jax.vmap(lambda a: jax.lax.top_k(a, 400)))(xb)
+    got_v, got_i = jax.jit(jax.vmap(lambda a: exact_topk(a, 400)))(xb)
+    ok = (np.array_equal(np.asarray(want_v), np.asarray(got_v))
+          and np.array_equal(np.asarray(want_i), np.asarray(got_i)))
+    check("pallas_topk/vmap4", ok)
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
     checks = [
+        ("topk", check_pallas_topk),
         ("s2d", check_s2d_stem),
         ("painter", check_painter),
         ("painter_nonsquare", lambda: check_painter(size=(160, 224))),
