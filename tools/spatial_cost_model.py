@@ -36,19 +36,24 @@ jax.config.update("jax_platforms", "cpu")  # analysis only — never the chip
 import jax.numpy as jnp
 from jax.extend import core as jex_core
 
-# Measured single-chip anchors (docs/PERFORMANCE.md, 2026-08-19, v5e via axon;
-# tools/bench_breakdown.py --size N): fused bs=1 frame split into the
-# sharded-able forward vs the replicated detect+masks tail. In-program fwd =
-# standalone fwd minus ~0.3 ms separate-dispatch overhead; tail = fused-frame
-# minus in-program fwd.
+# Measured single-chip anchors (docs/PERFORMANCE.md, 2026-08-21 round 5 —
+# Pallas radix-select detect stage; tools/bench_breakdown.py --size N).
+# Convention: each stage's standalone time is scaled by fused/sum(standalone)
+# so the three stages sum exactly to the measured fused frame (standalone
+# subprograms each carry ~0.3 ms dispatch the fused program does not).  The
+# row-sharded tail program itself was measured degenerate on one chip
+# (--spatial-tail, S=1): within 0.5-2% of the replicated tail at both 544
+# (0.720 vs 0.705 ms) and 1088 (2.217 vs 2.209 ms), so scaling mask_ms by
+# 1/S charges no unmeasured shard_map overhead.
 MEASURED = {
-    # tail = detect_ms (replicated: top-k + decode + NMS fixpoint, sequential
-    # dependence) + mask_ms (row-shardable: x4 upsample + rasterization,
-    # parallel/spatial.run_batch_spatial). In-program splits from
-    # tools/bench_breakdown.py (PERFORMANCE.md).
-    544: {"fwd_ms": 1.55, "detect_ms": 0.63, "mask_ms": 0.22},   # 2.40 fused
-    736: {"fwd_ms": 2.81, "detect_ms": 0.95, "mask_ms": 0.55},   # 4.31 fused
-    1088: {"fwd_ms": 6.50, "detect_ms": 1.20, "mask_ms": 0.70},  # 8.40 fused
+    # tail = detect_ms (replicated: radix-select top-k + decode + NMS
+    # fixpoint, sequential dependence) + mask_ms (row-shardable: x4 upsample
+    # + rasterization, parallel/spatial.run_batch_spatial).
+    # standalone (fwd, det, pp, fused): 544: 1.876/0.515/0.705/2.160
+    #   736: 3.087/0.528/1.335/3.868   1088: 6.826/0.750/2.209/7.988
+    544: {"fwd_ms": 1.570, "detect_ms": 0.431, "mask_ms": 0.159},  # 2.160
+    736: {"fwd_ms": 2.700, "detect_ms": 0.462, "mask_ms": 0.706},  # 3.868
+    1088: {"fwd_ms": 6.034, "detect_ms": 0.663, "mask_ms": 1.291},  # 7.988
 }
 NMS_POST = 100  # kept detections per image (packed-mask gather term)
 ICI_GBPS = 45.0      # v5e per-link one-direction (scaling book)
