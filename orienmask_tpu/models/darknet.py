@@ -352,6 +352,39 @@ class DarkNet53(Module):
     def fold(self, params, stats):
         return {n: getattr(self, n).fold(params[n], stats[n]) for n in self.stage_names}
 
+    def precompute_stem_folded(self, folded):
+        """Pre-derive the phase-stem kernels into the folded tree.
+
+        The derivations are pure dtype-preserving repacks (slice/stack) of
+        static folded weights, but left in-graph they cost ~0.11 ms/frame of
+        layout ops at 544² bs=1 (round-5 `tools/profile_infer.py`: the
+        `slice: darknet.py` row alone was 5.3% of device time).  Inference
+        weights never change per frame, so ``apply_folded`` consumes the
+        ``*_phase*`` leaves added here when present; master kernels stay in
+        place (int8 calibration reads them, and training AD still derives
+        in-graph).  Call again after ``quantize_folded`` — quantized leaves
+        are rebuilt without phase keys (and a ``stem=True`` quantization
+        then pre-derives from the int8 masters, keeping them int8).
+        """
+        if not self.s2d_stem:
+            return folded
+        sites = [
+            (folded["conv1"], "_z", _phase_kernel_im_z),
+            (folded["conv1"], "_im", _phase_kernel_im),
+            (folded["conv2"][0], "", _phase_kernel_s2_phase_out),
+            (folded["conv2"][1][0], "", _phase_kernel_1x1),
+            (folded["conv2"][1][1], "", _phase_kernel_s1),
+            (folded["conv3"][0], "", _phase_kernel_s2_exit),
+        ]
+        masters = [leaf["qkernel" if "qkernel" in leaf else "kernel"]
+                   for leaf, _, _ in sites]
+        derived = jax.jit(lambda ks: [
+            d(k) for k, (_, _, d) in zip(ks, sites)])(masters)
+        for (leaf, suffix, _), k in zip(sites, derived):
+            src = "qkernel" if "qkernel" in leaf else "kernel"
+            leaf[f"{src}_phase{suffix}"] = k
+        return folded
+
     def apply_folded(self, folded, x, ctx, phase_hw=None):
         """``phase_hw=(h2, w2)`` marks ``x`` as a pre-phased input z from
         layers.phase_resize (4*3=12 channels, spatial padded), where (h2, w2)
@@ -365,24 +398,31 @@ class DarkNet53(Module):
 
             dtype = ctx["dtype"]
 
-            def stem_conv(leaf, x, derive, conv, n_tile):
+            def stem_conv(leaf, x, derive, conv, n_tile, suffix=""):
                 """One stem conv from its master folded leaf: derive the
                 phase kernel (a dtype-preserving slice/stack repack, so an
                 int8 master stays int8), conv, dequant + bias + leaky.  The
                 per-out-channel dequant scale and bias tile x``n_tile`` for
                 phase-emitting kernels (out layout is phase-major (p,q,o),
-                matching the kernel derivations above)."""
+                matching the kernel derivations above).  When the leaf
+                carries a pre-derived ``*_phase<suffix>`` kernel
+                (``precompute_stem_folded``), the in-graph derive is skipped
+                — same bits, hoisted out of the per-frame program."""
                 q8 = "qkernel" in leaf
                 if q8:
+                    kq = leaf.get("qkernel_phase" + suffix)
                     y = conv(quantize_i8(x, leaf["in_inv"]),
-                             derive(leaf["qkernel"]), jnp.int32)
+                             kq if kq is not None else derive(leaf["qkernel"]),
+                             jnp.int32)
                     scale = (leaf["oscale"] if n_tile == 1
                              else jnp.tile(leaf["oscale"], n_tile))
                     y = y.astype(jnp.float32) * scale
                 else:
                     calib_observe(leaf["kernel"], x)
-                    y = conv(x.astype(dtype), derive(leaf["kernel"]).astype(dtype),
-                             None)
+                    kf = leaf.get("kernel_phase" + suffix)
+                    kf = (kf if kf is not None
+                          else derive(leaf["kernel"])).astype(dtype)
+                    y = conv(x.astype(dtype), kf, None)
                 bias = (leaf["bias"] if n_tile == 1
                         else jnp.tile(leaf["bias"], n_tile))
                 y = leaky_relu(y + bias.astype(y.dtype))
@@ -396,14 +436,14 @@ class DarkNet53(Module):
                     lambda q, k, pe: jax.lax.conv_general_dilated(
                         q, k, (1, 1), "VALID", dimension_numbers=dn,
                         preferred_element_type=pe)[:, :h2, :w2],
-                    n_tile=4)
+                    n_tile=4, suffix="_z")
             else:
                 y = stem_conv(
                     folded["conv1"], x, _phase_kernel_im,
                     lambda q, k, pe: jax.lax.conv_general_dilated(
                         q, k, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn,
                         preferred_element_type=pe),
-                    n_tile=4)
+                    n_tile=4, suffix="_im")
             zp = stem_conv(folded["conv2"][0], y, _phase_kernel_s2_phase_out,
                            lambda q, k, pe: self._conv_phase_down(q, k, dtype, pe),
                            n_tile=4)

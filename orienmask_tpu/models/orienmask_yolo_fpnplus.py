@@ -122,6 +122,15 @@ class _BaseOrienMask(Module):
             folded = {n: getattr(self, n).fold(p[n], s[n]) for n in self._module_names()}
         return jax.device_put(folded, jax.local_devices()[0])
 
+    def precompute_stem_folded(self, folded):
+        """Hoist the backbone's phase-stem kernel derivations out of the
+        per-frame program (darknet.precompute_stem_folded).  No-op for
+        backbones without a space-to-depth stem."""
+        pre = getattr(self.backbone, "precompute_stem_folded", None)
+        if pre is not None:
+            folded["backbone"] = pre(folded["backbone"])
+        return folded
+
     def named_modules(self, torch_prefix=""):
         for name in self._module_names():
             prefix = f"{torch_prefix}.{name}" if torch_prefix else name
