@@ -362,10 +362,15 @@ class OrienMaskYOLOPostProcess:
                 "valid": det["valid"]}
 
     def _upsample_orientation(self, pred_oriens):
-        """3x (B, H/4, W/4, A*2) -> (B, H, W, A_total, 2) in global anchor order."""
+        """3x (B, H/4, W/4, A*2) -> (B, H, W, A_total, 2) in global anchor order.
+
+        The scale-major -> global-anchor channel permutation runs BEFORE the
+        x4 upsample: bilinear resize is channelwise, so the gather commutes
+        bit-identically and touches 16x less data (the post-upsample gather
+        measured ~1.5 ms/call at B=8 544^2, tools/profile_infer.py --batch 8)."""
         x = jnp.concatenate(pred_oriens, axis=-1)  # (B, H/4, W/4, 6A)
+        x = x[..., jnp.asarray(self.orien_channel_perm)]
         up = bilinear_resize(x, self.image_h, self.image_w)
-        up = up[..., jnp.asarray(self.orien_channel_perm)]
         b = up.shape[0]
         return up.reshape(b, self.image_h, self.image_w, self.num_anchors_total, 2)
 

@@ -134,9 +134,12 @@ def run_batch_spatial(postprocess, mesh, predict, use_pallas=None):
     dets = jax.vmap(pp._detect_image)(pred_bboxes)
 
     x = jnp.concatenate(pred_oriens, axis=-1)  # (B, H/4, W/4, 6A) stride-4
+    # channel perm at stride-4, before the upsample (commutes bit-identically
+    # through the channelwise resize; 16x less gather traffic — see
+    # postprocess._upsample_orientation)
+    x = x[..., jnp.asarray(pp.orien_channel_perm)]
     mh = jnp.asarray(upsample_matrix(big_h, x.shape[1], False))
     mw = jnp.asarray(upsample_matrix(big_w, x.shape[2], False))
-    perm = jnp.asarray(pp.orien_channel_perm)
     na_table = jnp.asarray(pp.norm_anchors)
     mesh_x = jnp.asarray(pp.mesh_x)           # (1, W) normalized cols
     mesh_y = jnp.asarray(pp.mesh_y)           # (H, 1) normalized rows
@@ -157,7 +160,6 @@ def run_batch_spatial(postprocess, mesh, predict, use_pallas=None):
                         preferred_element_type=jnp.float32)
         up = jnp.einsum("Ww,bhwc->bhWc", mw, up,
                         preferred_element_type=jnp.float32)
-        up = up[..., perm]
         b = up.shape[0]
         field = up.reshape(b, shard_h, big_w, pp.num_anchors_total, 2)
         boxes = boxes5[..., :4]

@@ -42,7 +42,8 @@ def run(args):
     img = cv2.cvtColor(cv2.imread("/root/reference/assets/000000163126.jpg"),
                        cv2.COLOR_BGR2RGB)
     import jax.numpy as jnp
-    image_u8 = jnp.asarray(np.ascontiguousarray(img, np.uint8)[None])
+    one = np.ascontiguousarray(img, np.uint8)[None]
+    image_u8 = jnp.asarray(np.repeat(one, args.batch, axis=0))
 
     out = None
     for _ in range(10):
@@ -61,6 +62,9 @@ def run(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch size (image replicated) — per-op times are "
+                    "per CALL, divide by batch for per-image")
     ap.add_argument("--out", default="/tmp/om_infer_trace")
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--top", type=int, default=50)
