@@ -49,11 +49,13 @@ MEASURED = {
     # tail = detect_ms (replicated: radix-select top-k + decode + NMS
     # fixpoint, sequential dependence) + mask_ms (row-shardable: x4 upsample
     # + rasterization, parallel/spatial.run_batch_spatial).
-    # standalone (fwd, det, pp, fused): 544: 1.876/0.515/0.705/2.160
-    #   736: 3.087/0.528/1.335/3.868   1088: 6.826/0.750/2.209/7.988
+    # standalone (fwd, det, pp, fused), post perm-fix (stride-4 channel
+    # permutation): 544: 1.876/0.515/0.705/2.160 (pre-fix splits; fused
+    # improved to ~2.12 with the same proportions)
+    #   736: 3.094/0.617/1.253/3.779   1088: 6.957/0.730/1.556/7.224
     544: {"fwd_ms": 1.570, "detect_ms": 0.431, "mask_ms": 0.159},  # 2.160
-    736: {"fwd_ms": 2.700, "detect_ms": 0.462, "mask_ms": 0.706},  # 3.868
-    1088: {"fwd_ms": 6.034, "detect_ms": 0.663, "mask_ms": 1.291},  # 7.988
+    736: {"fwd_ms": 2.690, "detect_ms": 0.536, "mask_ms": 0.553},  # 3.779
+    1088: {"fwd_ms": 5.906, "detect_ms": 0.620, "mask_ms": 0.700},  # 7.224
 }
 NMS_POST = 100  # kept detections per image (packed-mask gather term)
 ICI_GBPS = 45.0      # v5e per-link one-direction (scaling book)
